@@ -1,0 +1,99 @@
+"""Parity tests for the resampling core against torch.grid_sample.
+
+These nail the align_corners=True / padding conventions the reference
+relies on (SURVEY.md section 7.3 'grid_sample parity').
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neuralrgbd_tpu.ops.sampling import (
+    grid_sample_2d,
+    grid_sample_3d,
+    normalized_to_pixel,
+)
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+
+def _rand_grid(rng, shape, lo=-1.4, hi=1.4):
+    return rng.uniform(lo, hi, size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_grid_sample_2d_matches_torch(rng, padding):
+    H, W, C = 13, 17, 5
+    img = rng.randn(H, W, C).astype(np.float32)
+    grid = _rand_grid(rng, (9, 11, 2))  # normalized [-1,1]-ish incl. out-of-range
+
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(2, 0, 1)[None],
+        torch.from_numpy(grid)[None],
+        mode="bilinear",
+        padding_mode=padding,
+        align_corners=True,
+    )[0].permute(1, 2, 0).numpy()
+
+    coords = np.stack(
+        [
+            normalized_to_pixel(grid[..., 0], W),
+            normalized_to_pixel(grid[..., 1], H),
+        ],
+        axis=-1,
+    )
+    out = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords),
+                                    padding=padding))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_grid_sample_3d_matches_torch(rng, padding):
+    D, H, W = 7, 9, 11
+    vol = rng.randn(D, H, W).astype(np.float32)
+    grid = _rand_grid(rng, (4, 5, 6, 3))  # (..., 3) = (x, y, z)
+
+    ref = F.grid_sample(
+        torch.from_numpy(vol)[None, None],
+        torch.from_numpy(grid)[None],
+        mode="bilinear",
+        padding_mode=padding,
+        align_corners=True,
+    )[0, 0].numpy()
+
+    coords = np.stack(
+        [
+            normalized_to_pixel(grid[..., 0], W),
+            normalized_to_pixel(grid[..., 1], H),
+            normalized_to_pixel(grid[..., 2], D),
+        ],
+        axis=-1,
+    )
+    out = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
+                                    padding=padding))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_2d_identity():
+    H, W, C = 8, 12, 3
+    img = np.arange(H * W * C, dtype=np.float32).reshape(H, W, C)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    coords = np.stack([xs, ys], axis=-1)
+    out = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords)))
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_grid_sample_2d_gradients_flow(rng):
+    import jax
+
+    H, W, C = 6, 6, 2
+    img = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(1, 4, size=(10, 2)).astype(np.float32))
+
+    g_img = jax.grad(lambda im: jnp.sum(grid_sample_2d(im, coords) ** 2))(img)
+    g_crd = jax.grad(lambda c: jnp.sum(grid_sample_2d(img, c) ** 2))(coords)
+    assert np.isfinite(np.asarray(g_img)).all()
+    assert np.isfinite(np.asarray(g_crd)).all()
+    assert np.abs(np.asarray(g_crd)).sum() > 0
