@@ -1,0 +1,75 @@
+"""Benchmark: steady-state KV-Net inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": ...}
+
+Operating point = the reference's headline config (BASELINE.md): 384x256 RGB,
+64 depth planes at 96x64, t_win=2 (4 source views), full K-Net temporal
+fusion + R-Net refinement + the prediction resample — i.e. everything
+test_utils/test_KVNet.py:19-67 does per frame.
+
+Methodology: T frames are scanned on-device in ONE executable with the DPV
+carry chained between frames (infer/rollout.py), and the result is reduced
+to a scalar that is fetched to the host. On this environment's tunneled TPU,
+``block_until_ready`` returns at dispatch and per-call host fetches are
+relay-bandwidth-bound (~37 MB/s), so anything else mis-measures.
+
+The reference publishes no FPS number (BASELINE.md); vs_baseline is reported
+against the NEURALRGBD_REF_FPS env var if the driver provides one, else null.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.config import ModelConfig, TrainConfig
+    from neuralrgbd_tpu.data import synthetic_batch
+    from neuralrgbd_tpu.infer.rollout import make_rollout
+    from neuralrgbd_tpu.train import create_train_state
+
+    cfg = ModelConfig()
+    T = int(os.environ.get("BENCH_FRAMES", "8"))
+    batch, _ = synthetic_batch(cfg, n_lanes=1, img_hw=(256, 384), seed=0)
+    state = create_train_state(cfg, TrainConfig(), batch)
+
+    keys = ("ref", "srcs", "poses", "K", "pose_next")
+    frames = {k: jnp.asarray(np.stack([batch[k]] * T)) for k in keys}
+
+    rollout = make_rollout(cfg, jit=False)
+
+    @jax.jit
+    def run(params, frames, bvp, valid):
+        depths, confs, bv = rollout(params, frames, bvp, valid)
+        # scalar fetch only: forces execution without relay-bound transfers
+        return jnp.sum(depths[:, :, ::64, ::64]) + jnp.sum(bv[:, :, ::16, ::16])
+
+    D, h, w = cfg.ndepth, 64, 96
+    bvp = jnp.full((1, D, h, w), -np.log(D), jnp.float32)
+    valid = jnp.ones((1,), bool)
+
+    float(run(state.params, frames, bvp, valid))  # compile + warm
+    t0 = time.perf_counter()
+    s = float(run(state.params, frames, bvp, valid))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    fps = T / dt
+
+    ref_fps = os.environ.get("NEURALRGBD_REF_FPS")
+    vs = round(fps / float(ref_fps), 3) if ref_fps else None
+    print(json.dumps({
+        "metric": "kvnet_infer_fps_384x256_d64_twin2",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Single dataclass config layer.
+
+Replaces the per-script argparse forests of the reference
+(``train_KVNet.py:95-157``, ``test_KVNet.py:49-68``,
+``test_KVNet_LBA.py:144-184``) with three composable dataclasses carrying
+the same surface semantics. Shell-script "canonical configs" become
+constructors (``for_scannet()`` etc.).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """KV-Net hyperparameters (reference defaults: run_demo.sh / docs/TE.md)."""
+
+    feature_dim: int = 64          # --feature_dim (D-Net feature channels)
+    kv_feature_dim: int = 64       # KVNet_feature_dim == feature_dim at all call sites
+    ndepth: int = 64               # --ndepth
+    d_min: float = 0.1             # --d_min (indoor; KITTI: 1.0)
+    d_max: float = 5.0             # --d_max (indoor; KITTI: 60.0)
+    sigma_soft_max: float = 10.0   # --sigma_soft_max
+    t_win_r: int = 2               # --t_win  (=> 4 source views + ref)
+    feat_dist: str = "L2"
+    use_img_intensity: bool = True
+    refine_channel: int = 3        # RGB guide for the R-Net
+    # BatchNorm: the reference uses track_running_stats=False, i.e. batch
+    # statistics at train AND eval (psm_submodule.py:10-16). Keep True for
+    # weight-import parity; False switches to standard running-stats BN.
+    bn_batch_stats: bool = True
+    dtype: str = "float32"         # compute dtype for convs ("bfloat16" ok)
+
+    @property
+    def d_candi(self) -> np.ndarray:
+        # train_KVNet.py:175: np.linspace(d_min, d_max, ndepth)
+        return np.linspace(self.d_min, self.d_max, self.ndepth).astype(np.float32)
+
+    @property
+    def n_views(self) -> int:
+        return 2 * self.t_win_r
+
+    @property
+    def kvnet_in_channels(self) -> int:
+        # KVNET.py:75: 3*(t_win_r*2+1) + 1  (V warped RGB + ref RGB + dpv diff)
+        return 3 * (2 * self.t_win_r + 1) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "scannet"       # scannet | 7scenes | kitti | single_folder
+    data_root: str = "/datasets/scan-net-5-frame"
+    split_txt: Optional[str] = None
+    img_size: Tuple[int, int] = (384, 256)   # (W, H)
+    dpv_scale: float = 0.25        # resize_dmap
+    frame_interval: int = 5        # ScanNet: multiples of 5
+    dat_index_step: int = 1        # 7Scenes test uses 3
+    crop_w: Optional[int] = None   # KITTI: 384
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-5               # --LR (Adam, betas (.9,.999))
+    n_epoch: int = 10              # local_train_scanNet.sh (KITTI: 20)
+    batch_size: int = 0            # 0 => one lane per device
+    pose_noise_level: float = 0.0  # --pose_noise_level
+    weight_var: float = 1e-3       # --weight_var (L1 loss branch)
+    loss_type: str = "NLL"
+    grad_clip_max: Optional[float] = None  # reference parsed but never applied
+    save_model_interv: int = 5000
+    tb_add_img_interv: int = 50
+    seed: int = 0
+    exp_name: str = "exp"
+    save_dir: str = "saved_models"

@@ -1,0 +1,88 @@
+"""The jitted inference step (reference: test_utils/test_KVNet.py:19-67).
+
+One call = one temporal-window forward + the Bayesian prediction resample for
+the next frame. Batched over lanes (trajectories) with vmap; everything —
+frames, poses, intrinsics, the DPV carry — is data, so a single compiled
+executable serves every trajectory.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neuralrgbd_tpu.config import ModelConfig
+from neuralrgbd_tpu.models.kvnet import KVNet, KVNetOutput
+from neuralrgbd_tpu.ops.camera import Camera
+from neuralrgbd_tpu.ops.dpv import resample_dpv
+
+
+def predict_next(dpv: jax.Array, pose_next: jax.Array, cam: Camera,
+                 d_candi: jax.Array) -> jax.Array:
+    """Resample the posterior DPV into the next reference frame's frustum.
+
+    ``pose_next`` is the relative extrinsic current-ref -> next-ref; the
+    resample needs the inverse (next-view points into the current volume),
+    matching ``rel_Rt = Src_CamPoses[:, t_win_r].inverse()`` /
+    ``cam_pose_next.inverse()`` (test_utils/test_KVNet.py:47-62), the
+    log(1/D) padding and the (-1000, 0) clamp.
+    """
+    D = dpv.shape[0]
+    rel = jnp.linalg.inv(pose_next)
+    return resample_dpv(
+        dpv, rel, cam, d_candi,
+        padding_value=math.log(1.0 / D),
+        clamp_to=(-1000.0, 0.0),
+    )
+
+
+class InferStepOutput(NamedTuple):
+    dpv: jax.Array            # (N, D, h, w) fused posterior (low res)
+    dpv_refined: jax.Array    # (N, D, H, W) refined DPV (image res)
+    bv_predict: jax.Array     # (N, D, h, w) prediction for the next frame
+    depth: jax.Array          # (N, H, W) E[d] from the refined DPV
+    confidence: jax.Array     # (N, H, W) exp(max_d) from the refined DPV
+
+
+def make_infer_step(cfg: ModelConfig, jit: bool = True):
+    """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
+
+    ``jit=False`` returns the raw traceable function (the parallel layer
+    re-jits it with explicit mesh shardings).
+
+    batch dict (leading N = lanes):
+      ref      (N, H, W, 3)   normalized reference frames
+      srcs     (N, V, H, W, 3)
+      poses    (N, V, 4, 4)   relative extrinsics ref->src
+      K        (N, 3, 3)      intrinsics at DPV resolution
+      pose_next (N, 4, 4)     relative extrinsic ref->next-ref
+    """
+    model = KVNet(cfg=cfg)
+
+    def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
+        cam = Camera(K=K)
+        d_candi = jnp.asarray(cfg.d_candi)
+        out: KVNetOutput = model.apply(
+            params, ref, srcs, poses, cam, d_candi, bv_predict, bv_valid
+        )
+        bv_next = predict_next(out.dpv, pose_next, cam, d_candi)
+        # refined-DPV depth regression + confidence (export_res.py:43-62)
+        p = jnp.exp(out.dpv_refined)
+        depth = jnp.einsum("dhw,d->hw", p, d_candi)
+        conf = jnp.max(p, axis=0)
+        return out.dpv, out.dpv_refined, bv_next, depth, conf
+
+    def infer_step(params, batch, bv_predict, bv_valid) -> InferStepOutput:
+        outs = jax.vmap(one_lane, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+            params, batch["ref"], batch["srcs"], batch["poses"], batch["K"],
+            batch["pose_next"], bv_predict, bv_valid,
+        )
+        return InferStepOutput(*outs)
+
+    if jit:
+        return jax.jit(infer_step, donate_argnums=(2,))
+    return infer_step

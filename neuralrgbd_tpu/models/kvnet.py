@@ -1,0 +1,138 @@
+"""The full KV-Net: D-Net measurement + K-Net temporal fusion + R-Net refine.
+
+Functional parity with ``/root/reference/code/models/KVNET.py`` and
+``D_NET_BASIC`` (``basic.py:141-323``), redesigned for XLA:
+
+- operates on a SINGLE lane (trajectory); the step layer vmaps over lanes —
+  this replaces the reference's "N=1 per GPU" DataParallel contract
+  (KVNET.py:110-116) and keeps BatchNorm statistics per-lane identical
+  (BN sees the V+1 frames of one trajectory, exactly as on one GPU);
+- camera intrinsics are *arguments*, not constructor state (the reference
+  overrides its constructor intrinsics at every call — basic.py:280-289);
+- temporal-recurrence validity is an explicit boolean, not a NaN probe
+  (``m_misc.valid_dpv``); the K-Net branch always runs (static graph) and
+  ``jnp.where`` selects, so the first frame costs one wasted K-Net pass
+  instead of a recompile;
+- all warps ride the shared ops.sweep/ops.dpv geometry core.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neuralrgbd_tpu.config import ModelConfig
+from neuralrgbd_tpu.models.feature_extractor import FeatureExtractor
+from neuralrgbd_tpu.models.knet import KNet
+from neuralrgbd_tpu.models.rnet import RNet
+from neuralrgbd_tpu.models.layers import avg_pool2d
+from neuralrgbd_tpu.ops.camera import Camera
+from neuralrgbd_tpu.ops.sweep import sweep_cost_volume, warp_to_ref_over_depths
+
+
+class KVNetOutput(NamedTuple):
+    """All DPVs are log-scale. Low-res DPVs are (D, h, w); refined DPVs are
+    (D, H, W) at image resolution."""
+
+    bv_cur: jax.Array           # D-Net measurement
+    dpv: jax.Array              # fused posterior (== bv_cur on first frame)
+    dpv_cur_refined: jax.Array  # R-Net(bv_cur)
+    dpv_refined: jax.Array      # R-Net(dpv)
+
+
+class KVNet(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        ref_frame: jax.Array,    # (H, W, 3) normalized RGB
+        src_frames: jax.Array,   # (V, H, W, 3)
+        src_poses: jax.Array,    # (V, 4, 4) relative extrinsics ref -> src
+        cam: Camera,             # intrinsics at DPV (1/4) resolution
+        d_candi: jax.Array,      # (D,)
+        bv_predict: jax.Array,   # (D, h, w) log-DPV prediction (uniform if invalid)
+        bv_valid: jax.Array,     # () bool — is bv_predict usable?
+    ) -> KVNetOutput:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        V, H, W, _ = src_frames.shape
+
+        # ---- D-Net: features for all V+1 frames in one batch ----
+        # (basic.py:245-252 — BN uses the joint batch statistics)
+        frames = jnp.concatenate([src_frames, ref_frame[None]], axis=0)
+        layer1, feat = FeatureExtractor(
+            feature_dim=cfg.feature_dim, multi_scale=True, dtype=dtype,
+            name="feature_extractor",
+        )(frames)
+        feat_ref = feat[-1]          # (h, w, F)
+        feat_srcs = feat[:-1]        # (V, h, w, F)
+        layer1_ref = layer1[-1]      # (H/2, W/2, 32)
+
+        # image intensity as extra feature channels (basic.py:254-263)
+        if cfg.use_img_intensity:
+            dw_rate = W // feat.shape[-2]
+            ints = avg_pool2d(frames, dw_rate)          # (V+1, h, w, 3)
+            feat_ref_sw = jnp.concatenate([feat_ref, ints[-1]], axis=-1)
+            feat_srcs_sw = jnp.concatenate([feat_srcs, ints[:-1]], axis=-1)
+        else:
+            feat_ref_sw, feat_srcs_sw = feat_ref, feat_srcs
+
+        Rs = src_poses[:, :3, :3]
+        ts = src_poses[:, :3, 3]
+
+        cost = sweep_cost_volume(
+            feat_ref_sw.astype(jnp.float32),
+            feat_srcs_sw.astype(jnp.float32),
+            Rs, ts, cam, d_candi,
+            sigma=cfg.sigma_soft_max, feat_dist=cfg.feat_dist,
+        )  # (D, h, w)
+        bv_cur = jax.nn.log_softmax(-cost, axis=0)
+
+        # ---- R-Net on the measurement ----
+        r_net = RNet(D=cfg.ndepth, dtype=dtype, name="r_net")
+
+        def refine(dpv_log):
+            out = r_net(
+                jnp.exp(dpv_log).transpose(1, 2, 0)[None],  # (1, h, w, D)
+                feat_ref[None],
+                layer1_ref[None],
+                ref_frame[None],
+            )[0]
+            return out.transpose(2, 0, 1)  # (D, H, W)
+
+        dpv_cur_refined = refine(bv_cur)
+
+        # ---- K-Net temporal fusion (KVNET.py:146-173) ----
+        dw = W // bv_cur.shape[-1]
+        ref_dw = avg_pool2d(ref_frame, dw)               # (h, w, 3)
+        srcs_dw = avg_pool2d(src_frames, dw)             # (V, h, w, 3)
+        warped = warp_to_ref_over_depths(
+            srcs_dw.astype(jnp.float32), Rs, ts, cam, d_candi
+        )  # (V, D, h, w, 3)
+        D, h, w = bv_cur.shape
+        vol = jnp.concatenate(
+            [
+                warped.transpose(1, 2, 3, 0, 4).reshape(D, h, w, V * 3),
+                jnp.broadcast_to(ref_dw[None], (D, h, w, 3)),
+                (bv_cur - bv_predict)[..., None],
+            ],
+            axis=-1,
+        )  # (D, h, w, 3V+4) == kvnet_in_vol channel order of KVNET.py:166
+        gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
+                    name="kv_net")(vol[None])[0]         # (D, h, w)
+        dpv_fused = jax.nn.log_softmax(gain + bv_predict, axis=0)
+        dpv = jnp.where(bv_valid, dpv_fused, bv_cur)
+
+        dpv_refined_fused = refine(dpv_fused)
+        dpv_refined = jnp.where(bv_valid, dpv_refined_fused, dpv_cur_refined)
+
+        return KVNetOutput(
+            bv_cur=bv_cur,
+            dpv=dpv,
+            dpv_cur_refined=dpv_cur_refined,
+            dpv_refined=dpv_refined,
+        )

@@ -1,0 +1,142 @@
+"""The jitted training step (reference: train_utils/train_KVNet.py:20-203).
+
+One call = forward over all lanes, 4-term NLL loss, Adam update, and the
+detached prediction resample that carries the recurrence to the next frame.
+Lane validity (invalid poses / missing depth) is a boolean weight on the
+loss, replacing the reference's dynamic batch-recomposition
+(batch_loader.py:30-76) so the compiled graph is static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from neuralrgbd_tpu.config import ModelConfig, TrainConfig
+from neuralrgbd_tpu.infer.step import predict_next
+from neuralrgbd_tpu.models.kvnet import KVNet
+from neuralrgbd_tpu.ops.camera import Camera
+from neuralrgbd_tpu.ops.rotations import add_pose_noise
+from neuralrgbd_tpu.train.loss import nll_dpv_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def create_train_state(cfg: ModelConfig, tcfg: TrainConfig, sample_batch,
+                       rng: Optional[jax.Array] = None) -> TrainState:
+    """Initialize params from one (host-side) sample batch."""
+    rng = jax.random.PRNGKey(tcfg.seed) if rng is None else rng
+    model = KVNet(cfg=cfg)
+    D = cfg.ndepth
+    h, w = sample_batch["ref"].shape[1] // 4, sample_batch["ref"].shape[2] // 4
+    bvp = jnp.full((D, h, w), -jnp.log(float(D)), jnp.float32)
+    params = model.init(
+        rng,
+        jnp.asarray(sample_batch["ref"][0]),
+        jnp.asarray(sample_batch["srcs"][0]),
+        jnp.asarray(sample_batch["poses"][0]),
+        Camera(K=jnp.asarray(sample_batch["K"][0])),
+        jnp.asarray(cfg.d_candi),
+        bvp,
+        jnp.asarray(True),
+    )
+    tx = optax.adam(tcfg.lr, b1=0.9, b2=0.999)  # train_KVNet.py:264
+    if tcfg.grad_clip_max is not None:
+        # the reference parsed --grad_clip but never applied it
+        # (train_KVNet.py:143-145); here the flag actually works.
+        tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_max), tx)
+    return TrainState(step=jnp.asarray(0), params=params,
+                      opt_state=tx.init(params), tx=tx)
+
+
+class TrainStepOutput(NamedTuple):
+    state: Any
+    loss: jax.Array
+    bv_predict: jax.Array   # (N, D, h, w) detached prediction for next frame
+    depth_lowres: jax.Array  # (N, h, w) E[d] of the fused DPV (for logging)
+
+
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, jit: bool = True):
+    """Returns ``train_step(state, batch, bv_predict, bv_valid, rng)``.
+
+    ``jit=False`` returns the raw traceable function (the parallel layer
+    re-jits it with explicit mesh shardings).
+
+    batch dict (leading N = lanes):
+      ref, srcs, poses, K, pose_next   — as in infer.step
+      dmap_digit        (N, h, w) int32   digitized GT at DPV res
+      dmap_imgsize_digit(N, H, W) int32   digitized GT at image res
+      lane_valid        (N,) bool         pose/depth validity of the lane
+    """
+    model = KVNet(cfg=cfg)
+    d_candi_np = cfg.d_candi
+
+    def lane_loss(params, ref, srcs, poses, K, dmap_digit, dmap_img_digit,
+                  bv_predict, bv_valid):
+        cam = Camera(K=K)
+        d_candi = jnp.asarray(d_candi_np)
+        out = model.apply(params, ref, srcs, poses, cam, d_candi,
+                          bv_predict, bv_valid)
+        # 4 NLL terms (train_utils/train_KVNet.py:103-118)
+        loss = nll_dpv_loss(out.bv_cur, dmap_digit)
+        loss += nll_dpv_loss(out.dpv_cur_refined, dmap_img_digit)
+        fused = nll_dpv_loss(out.dpv, dmap_digit)
+        fused += nll_dpv_loss(out.dpv_refined, dmap_img_digit)
+        loss += jnp.where(bv_valid, fused, 0.0)
+        return loss, out.dpv
+
+    def batch_loss(params, batch, bv_predict, bv_valid):
+        losses, dpvs = jax.vmap(
+            lane_loss, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(params, batch["ref"], batch["srcs"], batch["poses"], batch["K"],
+          batch["dmap_digit"], batch["dmap_imgsize_digit"],
+          bv_predict, bv_valid)
+        w = batch["lane_valid"].astype(losses.dtype)
+        # mean over valid lanes == reference's loss/nGPU with nGPU=n_valid
+        loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, dpvs
+
+    def train_step(state: TrainState, batch, bv_predict, bv_valid,
+                   rng) -> TrainStepOutput:
+        if tcfg.pose_noise_level > 0:
+            batch = dict(batch)
+            batch["poses"] = add_pose_noise(
+                rng, batch["poses"], tcfg.pose_noise_level
+            )
+        (loss, dpvs), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            state.params, batch, bv_predict, bv_valid
+        )
+        new_state = state.apply_gradients(grads)
+
+        # prediction for the next frame, outside the grad graph == .detach()
+        # TBPTT of length one (train_utils/train_KVNet.py:155-171)
+        d_candi = jnp.asarray(d_candi_np)
+
+        def lane_predict(dpv, pose_next, K):
+            return predict_next(dpv, pose_next, Camera(K=K), d_candi)
+
+        bv_next = jax.vmap(lane_predict)(dpvs, batch["pose_next"], batch["K"])
+        depth_low = jnp.einsum("ndhw,d->nhw", jnp.exp(dpvs), d_candi)
+        return TrainStepOutput(new_state, loss, bv_next, depth_low)
+
+    if jit:
+        return jax.jit(train_step, donate_argnums=(2,))
+    return train_step
