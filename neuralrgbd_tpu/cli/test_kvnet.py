@@ -1,0 +1,136 @@
+"""Inference CLI with given poses — the ``test_KVNet.py`` equivalent.
+
+Example (the run_demo.sh operating point):
+  python -m neuralrgbd_tpu.cli.test_kvnet \
+      --dataset 7scenes --dataset_path /data/7scenes \
+      --model_path saved_models/exp/ckpt_00005000 \
+      --sigma_soft_max 10 --t_win 2 --d_min .1 --d_max 5. \
+      --ndepth 64 --feature_dim 64 --res_dir results/demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="KV-Net inference (given poses)")
+    p.add_argument("--exp_name", type=str, default="exp")
+    p.add_argument("--dataset", type=str, default="scannet",
+                   choices=["scannet", "7scenes", "kitti", "synthetic"])
+    p.add_argument("--dataset_path", type=str, default=".")
+    p.add_argument("--split_file", type=str, default=None)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="orbax checkpoint dir; random init if omitted")
+    p.add_argument("--t_win", type=int, default=2)
+    p.add_argument("--d_min", type=float, default=0.1)
+    p.add_argument("--d_max", type=float, default=5.0)
+    p.add_argument("--ndepth", type=int, default=64)
+    p.add_argument("--sigma_soft_max", type=float, default=10.0)
+    p.add_argument("--feature_dim", type=int, default=64)
+    p.add_argument("--frame_interv", type=int, default=5)
+    p.add_argument("--dat_indx_step", type=int, default=1,
+                   help="window stride (7scenes test uses 3)")
+    p.add_argument("--traj_idx", type=int, nargs="*", default=[0])
+    p.add_argument("--img_width", type=int, default=384)
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--res_dir", type=str, default="results")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from neuralrgbd_tpu.config import ModelConfig
+    from neuralrgbd_tpu.infer.loop import run_trajectory
+    from neuralrgbd_tpu.infer.step import make_infer_step
+
+    cfg = ModelConfig(
+        feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
+        ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
+        sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
+    )
+    img_wh = (args.img_width, args.img_height)
+
+    def get_traj(idx):
+        if args.dataset == "synthetic":
+            # self-contained demo: write a synthetic scene and run on it
+            import tempfile
+
+            from neuralrgbd_tpu.data.scannet import make_trajectory
+            from neuralrgbd_tpu.data.synthetic import write_scannet_scene
+
+            root = os.path.join(tempfile.gettempdir(), "neuralrgbd_demo_scene")
+            if not os.path.isdir(os.path.join(root, "scene0000_00")):
+                write_scannet_scene(root, n_frames=12)
+            return make_trajectory(0, 5, root, img_size_wh=img_wh,
+                                   d_candi=cfg.d_candi)
+        if args.dataset == "scannet":
+            from neuralrgbd_tpu.data.scannet import make_trajectory
+
+            return make_trajectory(
+                idx, args.frame_interv, args.dataset_path, args.split_file,
+                img_size_wh=img_wh, d_candi=cfg.d_candi,
+            )
+        elif args.dataset == "7scenes":
+            from neuralrgbd_tpu.data.sevenscenes import make_trajectory
+
+            return make_trajectory(
+                idx, args.dataset_path, args.dat_indx_step,
+                img_size_wh=img_wh, d_candi=cfg.d_candi,
+            )
+        elif args.dataset == "kitti":
+            from neuralrgbd_tpu.data.kitti import make_trajectory
+
+            return make_trajectory(
+                idx, args.dataset_path, img_size_wh=img_wh,
+                d_candi=cfg.d_candi,
+            )
+        raise ValueError(args.dataset)
+
+    params = _init_or_load_params(cfg, args, get_traj(args.traj_idx[0]))
+    infer_step = make_infer_step(cfg)
+
+    for traj_idx in args.traj_idx:
+        traj = get_traj(traj_idx)
+        res_dir = os.path.join(args.res_dir, f"{args.exp_name}_{traj_idx}")
+        n = run_trajectory(params, cfg, traj, res_dir, infer_step=infer_step)
+        print(f"trajectory {traj_idx}: exported {n} frames to {res_dir}")
+
+
+def _init_or_load_params(cfg, args, traj):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralrgbd_tpu.models.kvnet import KVNet
+    from neuralrgbd_tpu.ops.camera import camera_from_K
+
+    model = KVNet(cfg=cfg)
+    rec = traj.frame(args.t_win)
+    V = cfg.n_views
+    H, W = rec.img.shape[:2]
+    D = cfg.ndepth
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rec.img),
+        jnp.zeros((V, H, W, 3), jnp.float32),
+        jnp.tile(jnp.eye(4), (V, 1, 1)),
+        camera_from_K(traj.K_dpv),
+        jnp.asarray(cfg.d_candi),
+        jnp.full((D, H // 4, W // 4), -np.log(D), jnp.float32),
+        jnp.asarray(False),
+    )
+    if args.model_path:
+        from neuralrgbd_tpu.utils.checkpoint import restore_params_partial
+
+        params, n_hit = restore_params_partial(args.model_path, params)
+        print(f"loaded {n_hit} tensors from {args.model_path}")
+    else:
+        print("WARNING: no --model_path given; using random init")
+    return params
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Result export with the reference's exact output contract.
+
+Per frame (export_res.py:43-75, README.md:65-72):
+  img_%05d.png   — un-normalized input RGB
+  d_%05d.pgm     — E[d] over the refined DPV, uint16, meters * 1000
+  conf_%05d.pgm  — exp(max_d DPV), uint16, * 1000
+plus scene_path_info.txt mapping output index -> source image path
+(mutils/misc.py:613-631).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import numpy as np
+import PIL.Image
+
+
+def export_pgm(path: str, arr_u16: np.ndarray) -> None:
+    """uint16 array -> 16-bit binary PGM (imgIO.py:9-10 wrote via PIL 'I')."""
+    arr = arr_u16.astype(np.uint16)
+    h, w = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n65535\n".encode())
+        f.write(arr.astype(">u2").tobytes())
+
+
+def read_pgm(path: str) -> np.ndarray:
+    """Read back a 16-bit PGM (for tests / offline eval)."""
+    return np.asarray(PIL.Image.open(path))
+
+
+def export_frame(res_dir: str, batch_idx: int, img_raw_u8: np.ndarray,
+                 depth_m: np.ndarray, conf: np.ndarray,
+                 depth_scale: float = 1000.0, conf_scale: float = 1000.0):
+    os.makedirs(res_dir, exist_ok=True)
+    PIL.Image.fromarray(img_raw_u8).save(
+        os.path.join(res_dir, f"img_{batch_idx:05d}.png")
+    )
+    export_pgm(os.path.join(res_dir, f"d_{batch_idx:05d}.pgm"),
+               (depth_m * depth_scale).astype(np.uint16))
+    export_pgm(os.path.join(res_dir, f"conf_{batch_idx:05d}.pgm"),
+               (conf * conf_scale).astype(np.uint16))
+
+
+def save_scene_path_info(path: str, rows: Sequence[Sequence]) -> None:
+    """Rows of [scene_path] or [out_index, img_path], two-space separated
+    (mutils/misc.py:613-631; format documented in README.md:65-72)."""
+    with open(path, "w") as f:
+        for row in rows:
+            f.write("  ".join(str(e) for e in row) + "\n")

@@ -1,0 +1,125 @@
+"""End-to-end data-layer + CLI test on a synthetic ScanNet-layout scene.
+
+This is the run_demo.sh-equivalent integration test (SURVEY.md section 4e):
+write a scene to disk, run the inference CLI, and check the documented
+output contract (README.md:65-72) byte-for-structure.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from neuralrgbd_tpu.data.synthetic import write_scannet_scene
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scannet")
+    write_scannet_scene(str(root), n_frames=10)
+    return str(root)
+
+
+def test_scannet_paths_and_intrinsics(scene_root):
+    from neuralrgbd_tpu.data.scannet import get_paths, read_info_txt
+
+    fldr, imgs, dmaps, poses, info = get_paths(0, 5, scene_root)
+    assert len(imgs) == 10
+    assert imgs[3].endswith("frame-000015.color.jpg")
+    K, (w, h) = read_info_txt(info)
+    assert (w, h) == (640, 480)
+    np.testing.assert_allclose(K[0, 0], 585.0)
+    np.testing.assert_allclose(K[0, 2], 323.7)
+
+
+def test_trajectory_frames(scene_root):
+    from neuralrgbd_tpu.data.scannet import make_trajectory
+
+    d_candi = np.linspace(0.5, 4.0, 8).astype(np.float32)
+    traj = make_trajectory(0, 5, scene_root, img_size_wh=(96, 64),
+                           d_candi=d_candi)
+    rec = traj.frame(2)
+    assert rec.img.shape == (64, 96, 3)
+    assert rec.img_raw.dtype == np.uint8
+    assert rec.dmap.shape == (16, 24)
+    # depth decoded to meters in the synthetic range
+    assert 0.7 < rec.dmap[rec.dmap > 0].min() < 1.0
+    assert 2.8 < rec.dmap.max() < 3.3
+    # digitized bins within range, not all ignore
+    assert rec.dmap_digit.max() <= 7 and (rec.dmap_digit > 0).mean() > 0.9
+    # pose: world->cam = inv(cam-to-world)
+    np.testing.assert_allclose(rec.ext_M[0, 3], -0.02 * 2, atol=1e-6)
+
+
+def test_window_batch_contract(scene_root):
+    from neuralrgbd_tpu.data.scannet import make_trajectory
+    from neuralrgbd_tpu.data.trajectory import window_batch
+
+    d_candi = np.linspace(0.5, 4.0, 8).astype(np.float32)
+    traj = make_trajectory(0, 5, scene_root, img_size_wh=(96, 64),
+                           d_candi=d_candi)
+    batch, ref, valid = window_batch(traj, 3, 2, with_labels=True)
+    assert valid
+    assert batch["srcs"].shape == (1, 4, 64, 96, 3)
+    assert batch["poses"].shape == (1, 4, 4, 4)
+    # relative pose of src 0 (frame 1 vs ref 3): camera moved +x by 0.04
+    # world->cam composition: t_rel = -0.02*1 - (-0.02*3) = +0.04
+    np.testing.assert_allclose(batch["poses"][0, 0, 0, 3], 0.04, atol=1e-6)
+    np.testing.assert_allclose(batch["pose_next"][0, 0, 3], -0.02, atol=1e-6)
+
+
+def test_cli_end_to_end(scene_root, tmp_path):
+    """Drive the real CLI main() and verify the export contract."""
+    from neuralrgbd_tpu.cli.test_kvnet import main
+    from neuralrgbd_tpu.infer.export import read_pgm
+
+    res = str(tmp_path / "results")
+    main([
+        "--dataset", "scannet", "--dataset_path", scene_root,
+        "--ndepth", "8", "--feature_dim", "16", "--d_min", "0.5",
+        "--d_max", "4.0", "--img_width", "96", "--img_height", "64",
+        "--res_dir", res, "--exp_name", "t",
+    ])
+    out_dir = os.path.join(res, "t_0")
+    # window [2, L-3): refs 2,3,4,5,6 => 5 frames
+    files = sorted(os.listdir(out_dir))
+    assert "scene_path_info.txt" in files
+    imgs = [f for f in files if f.startswith("img_")]
+    ds = [f for f in files if f.startswith("d_")]
+    confs = [f for f in files if f.startswith("conf_")]
+    assert len(imgs) == len(ds) == len(confs) == 5
+    assert ds[0] == "d_00000.pgm"
+
+    d = read_pgm(os.path.join(out_dir, "d_00000.pgm"))
+    assert d.dtype.kind in "iu" and d.shape == (64, 96)
+    # meters*1000 within the depth range
+    assert 400 <= d.min() and d.max() <= 4100
+
+    c = read_pgm(os.path.join(out_dir, "conf_00000.pgm"))
+    assert c.max() <= 1000
+
+    lines = open(os.path.join(out_dir, "scene_path_info.txt")).read().splitlines()
+    assert len(lines) == 6  # scene header + 5 frames
+    assert lines[1].split("  ")[0] == "0"
+    assert lines[1].split("  ")[1].endswith("frame-000010.color.jpg")
+
+
+def test_cli_invalid_pose_resets(scene_root, tmp_path_factory, tmp_path):
+    """A scene with one invalid pose: the frame is skipped, the loop
+    continues, and the contract still holds (test_KVNet.py:241-246)."""
+    root = str(tmp_path_factory.mktemp("scannet_bad"))
+    write_scannet_scene(root, n_frames=10, invalid_pose_at=8)
+    from neuralrgbd_tpu.cli.test_kvnet import main
+
+    res = str(tmp_path / "results")
+    main([
+        "--dataset", "scannet", "--dataset_path", root,
+        "--ndepth", "8", "--feature_dim", "16", "--d_min", "0.5",
+        "--d_max", "4.0", "--img_width", "96", "--img_height", "64",
+        "--res_dir", res, "--exp_name", "t",
+    ])
+    out_dir = os.path.join(res, "t_0")
+    ds = [f for f in sorted(os.listdir(out_dir)) if f.startswith("d_")]
+    # refs 2..6; only ref 6's window [4..8] touches the bad pose at 8,
+    # so exactly 4 frames survive
+    assert len(ds) == 4
