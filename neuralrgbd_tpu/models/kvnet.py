@@ -84,12 +84,18 @@ class KVNet(nn.Module):
         Rs = src_poses[:, :3, :3]
         ts = src_poses[:, :3, 3]
 
-        cost = sweep_cost_volume(
+        # One gather pass serves both the cost volume and the K-Net input
+        # warps: the last 3 swept channels are the 1/4-res RGB frames the
+        # reference re-warps separately (KVNET.py:149-161).
+        keep = 3 if cfg.use_img_intensity else 0
+        swept = sweep_cost_volume(
             feat_ref_sw.astype(jnp.float32),
             feat_srcs_sw.astype(jnp.float32),
             Rs, ts, cam, d_candi,
             sigma=cfg.sigma_soft_max, feat_dist=cfg.feat_dist,
-        )  # (D, h, w)
+            keep_last_channels=keep,
+        )
+        cost, warped_rgb = swept if keep else (swept, None)  # (D, h, w)
         bv_cur = jax.nn.log_softmax(-cost, axis=0)
 
         # ---- R-Net on the measurement ----
@@ -109,14 +115,15 @@ class KVNet(nn.Module):
         # ---- K-Net temporal fusion (KVNET.py:146-173) ----
         dw = W // bv_cur.shape[-1]
         ref_dw = avg_pool2d(ref_frame, dw)               # (h, w, 3)
-        srcs_dw = avg_pool2d(src_frames, dw)             # (V, h, w, 3)
-        warped = warp_to_ref_over_depths(
-            srcs_dw.astype(jnp.float32), Rs, ts, cam, d_candi
-        )  # (V, D, h, w, 3)
+        if warped_rgb is None:
+            srcs_dw = avg_pool2d(src_frames, dw)         # (V, h, w, 3)
+            warped_rgb = warp_to_ref_over_depths(
+                srcs_dw.astype(jnp.float32), Rs, ts, cam, d_candi
+            )  # (V, D, h, w, 3)
         D, h, w = bv_cur.shape
         vol = jnp.concatenate(
             [
-                warped.transpose(1, 2, 3, 0, 4).reshape(D, h, w, V * 3),
+                warped_rgb.transpose(1, 2, 3, 0, 4).reshape(D, h, w, V * 3),
                 jnp.broadcast_to(ref_dw[None], (D, h, w, 3)),
                 (bv_cur - bv_predict)[..., None],
             ],

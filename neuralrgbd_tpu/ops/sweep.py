@@ -82,17 +82,27 @@ def sweep_cost_volume(
     d_candi: jax.Array,     # (D,)
     sigma: float,
     feat_dist: str = "L2",
+    keep_last_channels: int = 0,
 ) -> jax.Array:
     """Plane-sweep cost volume, summed over source views.
 
     cost[d, h, w] = sum_views ||warp_d(src)[h,w] - ref[h,w]||_p / sigma
-    (``est_swp_volume_v4``, homography.py:313-327). Returns (D, H, W).
+    (``est_swp_volume_v4``, homography.py:313-327). Returns (D, H, W), or
+    (cost, kept) when ``keep_last_channels`` = k > 0, where kept is the
+    warped last-k channels per view, (V, D, H, W, k).
+
+    Rationale for ``keep_last_channels``: with use_img_intensity the last 3
+    swept channels ARE the 1/4-res RGB frames (basic.py:254-263), which is
+    exactly what the reference re-warps separately for the K-Net input
+    volume (KVNET.py:149-161, identical poses/depths). Keeping them here
+    makes that second 80 ms warp pass free.
 
     Out-of-frustum taps contribute the bare ||ref||^2 / sigma term (the warp
     pads with zeros), exactly like the reference.
     """
     V, H, W, C = src_feats.shape
     D = d_candi.shape[0]
+    k = keep_last_channels
     ref_flat = ref_feat.reshape(1, H * W, C)
 
     def per_view(carry, view):
@@ -106,11 +116,16 @@ def sweep_cost_volume(
             cost = jnp.sum(jnp.abs(diff), axis=-1)
         else:
             raise ValueError(f"undefined feature distance: {feat_dist}")
-        return carry + cost / sigma, None
+        kept = warped[..., C - k:] if k else jnp.zeros((D, H * W, 0),
+                                                       warped.dtype)
+        return carry + cost / sigma, kept
 
     init = jnp.zeros((D, H * W), dtype=ref_feat.dtype)
-    cost, _ = jax.lax.scan(per_view, init, (src_feats, Rs, ts))
-    return cost.reshape(D, H, W)
+    cost, kept = jax.lax.scan(per_view, init, (src_feats, Rs, ts))
+    cost = cost.reshape(D, H, W)
+    if k:
+        return cost, kept.reshape(V, D, H, W, k)
+    return cost
 
 
 def backward_warp_by_depth(

@@ -23,8 +23,30 @@ def _rand_grid(rng, shape, lo=-1.4, hi=1.4):
     return rng.uniform(lo, hi, size=shape).astype(np.float32)
 
 
+def test_fast_matches_taps_far_out_of_range(rng):
+    """Far-out-of-frustum coords (|g| >> 1) through both gather paths."""
+    H, W, C = 9, 11, 4
+    img = rng.randn(H, W, C).astype(np.float32)
+    coords = rng.uniform(-60, 60, size=(500, 2)).astype(np.float32)
+    for padding in ("zeros", "border"):
+        a = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords),
+                                      padding=padding, fast=True))
+        b = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords),
+                                      padding=padding, fast=False))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    vol = rng.randn(5, 9, 11).astype(np.float32)
+    c3 = rng.uniform(-60, 60, size=(500, 3)).astype(np.float32)
+    for padding in ("zeros", "border"):
+        a = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(c3),
+                                      padding=padding, fast=True))
+        b = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(c3),
+                                      padding=padding, fast=False))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("fast", [True, False])
 @pytest.mark.parametrize("padding", ["zeros", "border"])
-def test_grid_sample_2d_matches_torch(rng, padding):
+def test_grid_sample_2d_matches_torch(rng, padding, fast):
     H, W, C = 13, 17, 5
     img = rng.randn(H, W, C).astype(np.float32)
     grid = _rand_grid(rng, (9, 11, 2))  # normalized [-1,1]-ish incl. out-of-range
@@ -45,12 +67,13 @@ def test_grid_sample_2d_matches_torch(rng, padding):
         axis=-1,
     )
     out = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords),
-                                    padding=padding))
+                                    padding=padding, fast=fast))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("fast", [True, False])
 @pytest.mark.parametrize("padding", ["zeros", "border"])
-def test_grid_sample_3d_matches_torch(rng, padding):
+def test_grid_sample_3d_matches_torch(rng, padding, fast):
     D, H, W = 7, 9, 11
     vol = rng.randn(D, H, W).astype(np.float32)
     grid = _rand_grid(rng, (4, 5, 6, 3))  # (..., 3) = (x, y, z)
@@ -72,7 +95,7 @@ def test_grid_sample_3d_matches_torch(rng, padding):
         axis=-1,
     )
     out = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
-                                    padding=padding))
+                                    padding=padding, fast=fast))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
