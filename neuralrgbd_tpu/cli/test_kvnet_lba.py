@@ -1,0 +1,247 @@
+"""Pose-free pipeline CLI: DSO initial poses + KV-Net + Local Bundle
+Adjustment — the ``test_KVNet_LBA.py`` equivalent.
+
+Flow per frame (reference test_KVNet_LBA.py:306-528):
+  1. gate on DSO pose validity; periodic refresh back to the DSO trajectory;
+  2. first valid window: estimate the metric scale from DSO baselines and
+     rescale the trajectory (:352-366);
+  3. KV-Net inference with explicit next-frame pose; export depth/conf;
+  4. regress depth+confidence from the refined DPV, resample it into the
+     next frame, and run LBA (first window: all frames vs ref; steady state:
+     the next window vs the next ref, optionally injecting DSO R/t);
+  5. write the optimized relative poses back into the trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import math
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="KV-Net + DSO + LBA (pose-free)")
+    p.add_argument("--exp_name", type=str, default="lba")
+    p.add_argument("--img_glob", type=str, required=True,
+                   help="glob for input images (single-folder capture)")
+    p.add_argument("--intrin_path", type=str, required=True,
+                   help=".mat/.json/.npz with IntM + img_size")
+    p.add_argument("--dso_res_path", type=str, required=True,
+                   help="DSO result.txt (run cli.run_dso first)")
+    p.add_argument("--dso_filter", action="store_true",
+                   help="Butterworth-smooth the DSO translation track")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--t_win", type=int, default=2)
+    p.add_argument("--d_min", type=float, default=0.1)
+    p.add_argument("--d_max", type=float, default=5.0)
+    p.add_argument("--ndepth", type=int, default=64)
+    p.add_argument("--sigma_soft_max", type=float, default=10.0)
+    p.add_argument("--feature_dim", type=int, default=64)
+    p.add_argument("--img_width", type=int, default=384)
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--LBA_max_iter", type=int, default=20)
+    p.add_argument("--LBA_step", type=float, default=0.01)
+    p.add_argument("--opt_r", type=int, default=1)
+    p.add_argument("--opt_t", type=int, default=1)
+    p.add_argument("--use_dso_R", action="store_true")
+    p.add_argument("--use_dso_t", action="store_true")
+    p.add_argument("--refresh_frames", type=int, default=1000)
+    p.add_argument("--min_frame_idx", type=int, default=0)
+    p.add_argument("--max_frame_idx", type=int, default=10**9)
+    p.add_argument("--dat_indx_step", type=int, default=1)
+    p.add_argument("--res_dir", type=str, default="results")
+    return p
+
+
+def twin_pose_indices(ref_indx, t_win_r, step):
+    """get_twin_rel_pose index lists (mutils/misc.py:21-54): the pose of the
+    last window frame is initialized from frame (ref + t*step - 1)."""
+    src_pose_idx = (
+        [i for i in range(ref_indx - t_win_r * step, ref_indx, step)]
+        + [i for i in range(ref_indx + step,
+                            ref_indx + (t_win_r - 1) * step + 1, step)]
+        + [t_win_r * step + ref_indx - 1]
+    )
+    src_opt_idx = (
+        [i for i in range(ref_indx - t_win_r * step, ref_indx, step)]
+        + [i for i in range(ref_indx + step,
+                            ref_indx + t_win_r * step + 1, step)]
+    )
+    return src_pose_idx, src_opt_idx
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.config import ModelConfig
+    from neuralrgbd_tpu.data.mdata import make_trajectory
+    from neuralrgbd_tpu.data.trajectory import rel_pose, window_batch
+    from neuralrgbd_tpu.infer.export import export_frame, save_scene_path_info
+    from neuralrgbd_tpu.infer.step import make_infer_step
+    from neuralrgbd_tpu.ops.camera import Camera, camera_from_K, rescale_K
+    from neuralrgbd_tpu.ops.dpv import resample_dpv
+    from neuralrgbd_tpu.pose import dso
+    from neuralrgbd_tpu.pose.lba import local_ba_direct, make_lba_optimizer
+
+    cfg = ModelConfig(
+        feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
+        ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
+        sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
+    )
+    t_win_r, step = cfg.t_win_r, args.dat_indx_step
+    D = cfg.ndepth
+    d_candi = jnp.asarray(cfg.d_candi)
+    img_wh = (args.img_width, args.img_height)
+
+    traj = make_trajectory(args.img_glob, args.intrin_path,
+                           img_size_wh=img_wh, d_candi=cfg.d_candi)
+    L = len(traj)
+    traj_extMs = dso.init_traj_extMs(L, args.dso_res_path,
+                                     if_filter=args.dso_filter)
+    traj_extMs_init = copy.deepcopy(traj_extMs)
+    traj.pose_loader = lambda i: (
+        traj_extMs[i] if isinstance(traj_extMs[i], np.ndarray)
+        else np.full((4, 4), np.nan))
+
+    # pyramid intrinsics (1/4, 1/2, 1/1 of working size) for the LBA
+    cams_pyr = [
+        camera_from_K(rescale_K(traj.K_orig, traj.orig_wh,
+                                (img_wh[0] // s, img_wh[1] // s)))
+        for s in (4, 2, 1)
+    ]
+    cam_img = cams_pyr[-1]
+    focal_length = float(np.mean([traj.K_img[0, 0], traj.K_img[1, 1]]))
+
+    from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
+
+    params = _init_or_load_params(cfg, args, traj)
+    infer_step = make_infer_step(cfg)
+    lba_opt_first = make_lba_optimizer(3, args.LBA_max_iter, args.LBA_step,
+                                       bool(args.opt_r), bool(args.opt_t))
+    lba_opt = make_lba_optimizer(3, args.LBA_max_iter, args.LBA_step,
+                                 bool(args.opt_r), bool(args.opt_t))
+    resample_img = jax.jit(
+        lambda dpv, rel: resample_dpv(dpv, rel, cam_img, d_candi,
+                                      padding_value=math.log(1.0 / D)))
+
+    res_dir = os.path.join(args.res_dir, args.exp_name)
+    os.makedirs(res_dir, exist_ok=True)
+    scene_path_info = [[traj.name]]
+
+    h_dpv, w_dpv = traj.dpv_size_wh[1], traj.dpv_size_wh[0]
+    bv_predict = jnp.full((1, D, h_dpv, w_dpv), -np.log(D), jnp.float32)
+    bv_valid = jnp.zeros((1,), bool)
+    first_frame = True
+    frame_cnt_out = 0
+
+    lo = t_win_r * step + args.min_frame_idx
+    hi = L - t_win_r * step - step
+    for ref_indx in range(lo, hi):
+        if ref_indx > args.max_frame_idx:
+            break
+        win_idx = ([i for i in range(ref_indx - t_win_r * step, ref_indx, step)]
+                   + [i for i in range(ref_indx + step,
+                                       ref_indx + t_win_r * step + 1, step)])
+        valid_seq = dso.valid_poses(traj_extMs, win_idx + [ref_indx])
+
+        if args.refresh_frames > 0 and ref_indx % args.refresh_frames == 0 \
+                and ref_indx > lo:
+            print("REFRESH: resetting poses to DSO")
+            traj_extMs[:] = copy.deepcopy(traj_extMs_init)
+            bv_valid = jnp.zeros((1,), bool)
+            first_frame = True
+
+        if not valid_seq:
+            bv_valid = jnp.zeros((1,), bool)
+            print(f"frame {ref_indx}: invalid DSO pose, skipped")
+            continue
+
+        # ---- metric-scale bootstrap on the first valid window ----
+        if first_frame:
+            scale = dso.estimate_metric_scale(traj_extMs, focal_length,
+                                              cfg.d_max, step)
+            dso.rescale_traj_t(traj_extMs, scale)
+            traj_extMs_dso = copy.deepcopy(traj_extMs)
+            print(f"metric scale from DSO baselines: {scale:.4f}")
+
+        # ---- KV-Net inference ----
+        traj._cache.clear()  # poses changed; cached FrameRecords are stale
+        batch_np, ref_rec, _ = window_batch(traj, ref_indx, t_win_r, step)
+        batch = jax.tree.map(jnp.asarray, batch_np)
+        out = infer_step(params, batch, bv_predict, bv_valid)
+        bv_predict = out.bv_predict
+        bv_valid = jnp.ones((1,), bool)
+
+        export_frame(res_dir, frame_cnt_out, ref_rec.img_raw,
+                     np.asarray(out.depth[0]), np.asarray(out.confidence[0]))
+        scene_path_info.append([frame_cnt_out, ref_rec.img_path])
+        frame_cnt_out += 1
+
+        if args.LBA_max_iter <= 1:
+            first_frame = False
+            continue
+
+        # ---- depth + confidence for the LBA (test_KVNet_LBA.py:414-423) --
+        dpv_ref = out.dpv_refined[0]                   # (D, H, W)
+        idx_next = ref_indx + 1
+        pose_next = rel_pose(traj_extMs[ref_indx], traj_extMs[idx_next])
+        dpv_kf = resample_img(dpv_ref, jnp.linalg.inv(jnp.asarray(pose_next)))
+        dmap_ref = np.asarray(jnp.einsum(
+            "dhw,d->hw", jnp.exp(dpv_ref), d_candi))
+        conf_ref = np.asarray(jnp.exp(jnp.max(dpv_ref, 0))) ** 2
+        dmap_kf = np.asarray(jnp.einsum(
+            "dhw,d->hw", jnp.exp(dpv_kf), d_candi))
+        conf_kf = np.asarray(jnp.exp(jnp.max(dpv_kf, 0))) ** 2
+
+        if first_frame:
+            first_frame = False
+            # optimize every frame of the window against the current ref
+            srcs_idx = [i for i in range(ref_indx - t_win_r * step,
+                                         ref_indx + t_win_r * step + 1)
+                        if i != ref_indx]
+            rel_inits = np.stack([
+                rel_pose(traj_extMs[ref_indx], traj_extMs[i])
+                for i in srcs_idx])
+            imgs_src = np.stack([traj.frame(i).img for i in srcs_idx])
+            rel_opt = np.asarray(local_ba_direct(
+                ref_rec.img, imgs_src, dmap_ref, conf_ref, cams_pyr,
+                rel_inits, max_iter=args.LBA_max_iter, step=args.LBA_step,
+                opt_vars=(args.opt_r, args.opt_t), optimizer=lba_opt_first))
+            for k, srcidx in enumerate(srcs_idx):
+                traj_extMs[srcidx] = rel_opt[k] @ traj_extMs[ref_indx]
+
+        # ---- steady state: optimize the next window vs the next ref ----
+        pose_idx, opt_idx = twin_pose_indices(idx_next, t_win_r, step)
+        rel_inits = np.stack([
+            rel_pose(traj_extMs[idx_next], traj_extMs[i]) for i in pose_idx])
+        if args.use_dso_R or args.use_dso_t:
+            dRt = rel_pose(traj_extMs_dso[idx_next],
+                           traj_extMs_dso[idx_next + t_win_r * step])
+            if args.use_dso_R:
+                rel_inits[-1][:3, :3] = dRt[:3, :3]
+            if args.use_dso_t:
+                rel_inits[-1][:3, 3] = dRt[:3, 3]
+        imgs_src = np.stack([traj.frame(i).img for i in opt_idx])
+        ref_img_next = traj.frame(idx_next).img
+        rel_opt = np.asarray(local_ba_direct(
+            ref_img_next, imgs_src, dmap_kf, conf_kf, cams_pyr, rel_inits,
+            max_iter=args.LBA_max_iter, step=args.LBA_step,
+            opt_vars=(args.opt_r, args.opt_t), optimizer=lba_opt))
+        for k, srcidx in enumerate(opt_idx):
+            traj_extMs[srcidx] = rel_opt[k] @ traj_extMs[idx_next]
+        print(f"frame {ref_indx}: exported + poses optimized", flush=True)
+
+    save_scene_path_info(os.path.join(res_dir, "scene_path_info.txt"),
+                         scene_path_info)
+    print(f"done: {frame_cnt_out} frames -> {res_dir}")
+    return frame_cnt_out
+
+
+if __name__ == "__main__":
+    main()
