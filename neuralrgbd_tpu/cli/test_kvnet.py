@@ -122,7 +122,23 @@ def _init_or_load_params(cfg, args, traj):
         jnp.full((D, H // 4, W // 4), -np.log(D), jnp.float32),
         jnp.asarray(False),
     )
-    if args.model_path:
+    if args.model_path and args.model_path.endswith((".tar", ".pth", ".pt")):
+        # reference-released torch checkpoint (kvnet_scannet.tar etc.)
+        from neuralrgbd_tpu.utils.torch_import import (
+            import_torch_state_dict,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(args.model_path)
+        params, report = import_torch_state_dict(sd, params)
+        print(f"imported {report['n_imported']}/{report['n_params_total']} "
+              f"tensors from torch checkpoint {args.model_path}")
+        if report["unmatched_torch_keys"]:
+            print(f"  unmatched torch keys: "
+                  f"{report['unmatched_torch_keys'][:8]} ...")
+        if report["shape_mismatches"]:
+            print(f"  SHAPE MISMATCHES: {report['shape_mismatches'][:8]}")
+    elif args.model_path:
         from neuralrgbd_tpu.utils.checkpoint import restore_params_partial
 
         params, n_hit = restore_params_partial(args.model_path, params)

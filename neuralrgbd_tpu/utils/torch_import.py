@@ -1,0 +1,178 @@
+"""Import the reference's released PyTorch checkpoints into our param tree.
+
+The released weights (``code/saved_models/download_weights.sh``:
+kvnet_scannet.tar / kvnet_kitti.tar) are torch ``state_dict``s of the
+DataParallel'd KVNET. This module maps them onto the Flax tree:
+
+layout transforms
+  Conv2d   (O,I,kh,kw)      -> (kh,kw,I,O)
+  Conv3d   (O,I,kd,kh,kw)   -> (kd,kh,kw,I,O)
+  ConvT2d  (I,O,kh,kw)      -> (kh,kw,I,O) spatially flipped (our deconv is
+                               an lhs-dilated conv)
+  BatchNorm weight/bias     -> bn scale/bias (no running stats: the
+                               reference trains with track_running_stats=False)
+
+name map (torch module path -> our flax path) is generated from the
+architecture structure below; unmatched tensors are reported loudly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _convbn(torch_prefix: str, flax_prefix: str, dims: int = 2):
+    """convbn/convbn_3d Sequential(conv, bn)."""
+    return {
+        f"{torch_prefix}.0.weight": (f"{flax_prefix}/conv/kernel",
+                                     "conv3d" if dims == 3 else "conv2d"),
+        f"{torch_prefix}.1.weight": (f"{flax_prefix}/bn/scale", "copy"),
+        f"{torch_prefix}.1.bias": (f"{flax_prefix}/bn/bias", "copy"),
+    }
+
+
+def _conv_bias(torch_prefix: str, flax_prefix: str):
+    return {
+        f"{torch_prefix}.weight": (f"{flax_prefix}/kernel", "conv2d"),
+        f"{torch_prefix}.bias": (f"{flax_prefix}/bias", "copy"),
+    }
+
+
+def build_name_map() -> Dict[str, Tuple[str, str]]:
+    """torch state_dict key -> (flax path 'a/b/c/leaf', transform)."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    # ---- feature extractor (psm_submodule.feature_extraction) ----
+    fe_t = "feature_extractor.feature_extraction"
+    fe_f = "feature_extractor"
+    for i, j in ((0, 0), (2, 1), (4, 2)):
+        m.update(_convbn(f"{fe_t}.firstconv.{i}", f"{fe_f}/first{j}"))
+
+    layer_blocks = {"layer1": 3, "layer2": 16, "layer3": 3, "layer4": 3}
+    for lname, nblocks in layer_blocks.items():
+        for b in range(nblocks):
+            t = f"{fe_t}.{lname}.{b}"
+            f = f"{fe_f}/{lname}_{b}"
+            # BasicBlock: conv1 = Sequential(convbn, ReLU) => conv1.0.*
+            m.update(_convbn(f"{t}.conv1.0", f"{f}/conv1"))
+            m.update(_convbn(f"{t}.conv2", f"{f}/conv2"))
+            # downsample = Sequential(Conv2d, BN) on the first block when
+            # stride/channels change (layer2_0, layer3_0)
+            m[f"{t}.downsample.0.weight"] = (f"{f}/down_conv/kernel", "conv2d")
+            m[f"{t}.downsample.1.weight"] = (f"{f}/down_bn/scale", "copy")
+            m[f"{t}.downsample.1.bias"] = (f"{f}/down_bn/bias", "copy")
+
+    for k in range(4):  # torch branch1..4 == our branch0..3
+        m.update(_convbn(f"{fe_t}.branch{k + 1}.1", f"{fe_f}/branch{k}"))
+    m.update(_convbn(f"{fe_t}.lastconv.0", f"{fe_f}/last0"))
+    m[f"{fe_t}.lastconv.2.weight"] = (f"{fe_f}/last1/kernel", "conv2d")
+
+    # ---- K-Net (basic.KV_NET_BASIC) ----
+    kv_t, kv_f = "kv_net", "kv_net"
+    for d in range(5):
+        for i, j in ((0, 0), (2, 1)):
+            m.update(_convbn(f"{kv_t}.dres{d}.{i}", f"{kv_f}/dres{d}_{j}",
+                             dims=3))
+    m.update(_convbn(f"{kv_t}.classify.0", f"{kv_f}/classify_0", dims=3))
+    m[f"{kv_t}.classify.2.weight"] = (f"{kv_f}/classify_1/kernel", "conv3d")
+
+    # ---- R-Net (Refine.RefineNet_DPV_upsample) ----
+    r_t, r_f = "r_net", "r_net"
+    for name in ("conv0", "conv0_1", "conv1", "conv1_1", "conv2", "conv2_1"):
+        m.update(_conv_bias(f"{r_t}.{name}.0", f"{r_f}/{name}"))
+    m.update(_conv_bias(f"{r_t}.conv2_2", f"{r_f}/conv2_2"))
+    for name in ("trans_conv0", "trans_conv1"):
+        m[f"{r_t}.{name}.0.weight"] = (f"{r_f}/{name}/kernel", "deconv2d")
+        m[f"{r_t}.{name}.0.bias"] = (f"{r_f}/{name}/bias", "copy")
+    return m
+
+
+def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "copy":
+        return arr
+    if kind == "conv2d":
+        return arr.transpose(2, 3, 1, 0)
+    if kind == "conv3d":
+        return arr.transpose(2, 3, 4, 1, 0)
+    if kind == "deconv2d":
+        # (I, O, kh, kw) -> flipped (kh, kw, I, O)
+        return arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    raise ValueError(kind)
+
+
+def _strip_prefix(key: str) -> str:
+    for pre in ("module.", "model."):
+        if key.startswith(pre):
+            key = key[len(pre):]
+    return key
+
+
+def import_torch_state_dict(state_dict, params, strict_shapes: bool = True):
+    """Map a torch state_dict (tensors or ndarrays) onto a flax param tree.
+
+    Returns (new_params, report dict). The D-Net duplicates the feature
+    extractor in the torch tree (``d_net.feature_extraction.*`` aliases
+    ``feature_extractor.*``) — duplicates are skipped silently.
+    """
+    import jax
+
+    name_map = build_name_map()
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            p.key for p in path if hasattr(p, "key")
+        )
+        flat[key.replace("params/", "")] = (path, np.asarray(leaf))
+
+    new_leaves = {k: v[1] for k, v in flat.items()}
+    used, missing, skipped, mismatched = [], [], [], []
+
+    for tkey, tval in state_dict.items():
+        key = _strip_prefix(str(tkey))
+        if key.startswith("d_net.feature_extraction."):
+            continue  # alias of feature_extractor.*
+        if "num_batches_tracked" in key or "running_" in key:
+            continue
+        if key not in name_map:
+            skipped.append(key)
+            continue
+        fkey, kind = name_map[key]
+        if fkey not in new_leaves:
+            missing.append(fkey)
+            continue
+        arr = _transform(np.asarray(tval), kind).astype(np.float32)
+        if arr.shape != new_leaves[fkey].shape:
+            mismatched.append((key, arr.shape, new_leaves[fkey].shape))
+            if strict_shapes:
+                continue
+        new_leaves[fkey] = arr
+        used.append(fkey)
+
+    # rebuild the tree
+    leaves = []
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(p.key for p in path if hasattr(p, "key"))
+        leaves.append(new_leaves[key.replace("params/", "")])
+    treedef = jax.tree_util.tree_structure(params)
+    new_params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    report = {
+        "n_imported": len(used),
+        "n_params_total": len(flat),
+        "unmatched_torch_keys": skipped,
+        "missing_flax_keys": missing,
+        "shape_mismatches": mismatched,
+    }
+    return new_params, report
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference .tar checkpoint -> numpy state_dict (CPU torch)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
