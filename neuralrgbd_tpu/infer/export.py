@@ -50,3 +50,58 @@ def save_scene_path_info(path: str, rows: Sequence[Sequence]) -> None:
     with open(path, "w") as f:
         for row in rows:
             f.write("  ".join(str(e) for e in row) + "\n")
+
+
+def export_frame_mat(res_dir: str, batch_idx: int, dmap: np.ndarray,
+                     conf: np.ndarray, img_raw_u8: np.ndarray,
+                     cam_pose=None, K=None, output_pngs: bool = False,
+                     gt_dmap=None):
+    """`.mat` + optional png export — ``export_res_refineNet``
+    (export_res.py:78-159). Dict keys follow the reference so offline eval
+    scripts written against it keep working."""
+    import scipy.io as sio
+
+    os.makedirs(res_dir, exist_ok=True)
+    payload = {
+        "dmap": np.asarray(dmap, np.float32),
+        "confMap": np.asarray(conf, np.float32),
+        "img": np.asarray(img_raw_u8),
+    }
+    if gt_dmap is not None:
+        payload["dmap_gt"] = np.asarray(gt_dmap, np.float32)
+    if cam_pose is not None:
+        payload["cam_pose"] = np.asarray(cam_pose, np.float64)
+    if K is not None:
+        payload["cam_intrinM"] = np.asarray(K, np.float64)
+    sio.savemat(os.path.join(res_dir, f"res_{batch_idx:05d}.mat"), payload)
+
+    if output_pngs:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(os.path.join(res_dir, f"dmap_{batch_idx:05d}.png"),
+                   np.asarray(dmap), cmap="viridis")
+        plt.imsave(os.path.join(res_dir, f"conf_{batch_idx:05d}.png"),
+                   np.asarray(conf), cmap="magma")
+
+
+def results_to_gif(res_dir: str, out_path: str, pattern: str = "d_",
+                   scale: float = 0.2, duration_ms: int = 100):
+    """Assemble exported frames into an animated GIF — the offline
+    results-to-video utility (mio/vidIO.py:102-206; GIF instead of mp4
+    since no video encoder is bundled)."""
+    import glob as _glob
+
+    frames = []
+    for p in sorted(_glob.glob(os.path.join(res_dir, f"{pattern}*.pgm"))):
+        arr = np.asarray(PIL.Image.open(p), np.float32)
+        arr = arr / max(arr.max(), 1.0)
+        img = PIL.Image.fromarray((arr * 255).astype(np.uint8))
+        frames.append(img.convert("P"))
+    if not frames:
+        raise FileNotFoundError(f"no {pattern}*.pgm under {res_dir}")
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=duration_ms, loop=0)
+    return len(frames)

@@ -128,3 +128,31 @@ def uniform_dpv(D: int, H: int, W: int, dtype=jnp.float32) -> jax.Array:
     recurrence and to fill invalid lanes (batch_loader.py:30-43 did this with
     NaNs; we use the uniform prior so the jitted graph stays NaN-free)."""
     return jnp.full((D, H, W), -jnp.log(jnp.asarray(D, dtype)), dtype=dtype)
+
+
+def dpv_statistics(dpv: jax.Array, d_candi: jax.Array,
+                   statistics=("E_mean", "variance", "max", "min"),
+                   log_scale: bool = True) -> jax.Array:
+    """Per-pixel DPV feature maps (mutils/misc.py:574-608).
+
+    dpv: (..., D, H, W) -> (..., len(statistics), H, W) stacked features.
+    """
+    p = jnp.exp(dpv) if log_scale else dpv
+    feats = []
+    mean = None
+    for name in statistics:
+        if name == "E_mean":
+            mean = jnp.einsum("...dhw,d->...hw", p, d_candi)
+            feats.append(mean)
+        elif name == "variance":
+            if mean is None:
+                mean = jnp.einsum("...dhw,d->...hw", p, d_candi)
+            feats.append(depth_variance(dpv, mean, d_candi,
+                                        log_scale=log_scale))
+        elif name == "max":
+            feats.append(jnp.max(p, axis=-3))
+        elif name == "min":
+            feats.append(jnp.min(p, axis=-3))
+        else:
+            raise ValueError(f"unknown dpv statistic: {name}")
+    return jnp.stack(feats, axis=-3)
