@@ -72,7 +72,7 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True):
       K        (N, 3, 3)      intrinsics at DPV resolution
       pose_next (N, 4, 4)     relative extrinsic ref->next-ref
     """
-    model = KVNet(cfg=cfg)
+    model = KVNet(cfg=cfg, single_refine=True)
 
     def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
         cam = Camera(K=K)

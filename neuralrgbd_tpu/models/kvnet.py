@@ -45,6 +45,12 @@ class KVNetOutput(NamedTuple):
 
 class KVNet(nn.Module):
     cfg: ModelConfig
+    # Inference-only: refine just the fused posterior. The two R-Net passes
+    # of the reference (KVNET.py:128-134,175-182) produce identical outputs
+    # whenever dmap_cur_refined is actually consumed (first frame, where
+    # dpv == bv_cur), so one pass suffices and saves ~6.5 ms/frame.
+    # Training needs both (both enter the loss) => keep False there.
+    single_refine: bool = False
 
     @nn.compact
     def __call__(
@@ -110,7 +116,7 @@ class KVNet(nn.Module):
             )[0]
             return out.transpose(2, 0, 1)  # (D, H, W)
 
-        dpv_cur_refined = refine(bv_cur)
+        dpv_cur_refined = None if self.single_refine else refine(bv_cur)
 
         # ---- K-Net temporal fusion (KVNET.py:146-173) ----
         dw = W // bv_cur.shape[-1]
@@ -134,8 +140,13 @@ class KVNet(nn.Module):
         dpv_fused = jax.nn.log_softmax(gain + bv_predict, axis=0)
         dpv = jnp.where(bv_valid, dpv_fused, bv_cur)
 
-        dpv_refined_fused = refine(dpv_fused)
-        dpv_refined = jnp.where(bv_valid, dpv_refined_fused, dpv_cur_refined)
+        if self.single_refine:
+            dpv_refined = refine(dpv)
+            dpv_cur_refined = dpv_refined
+        else:
+            dpv_refined_fused = refine(dpv_fused)
+            dpv_refined = jnp.where(bv_valid, dpv_refined_fused,
+                                    dpv_cur_refined)
 
         return KVNetOutput(
             bv_cur=bv_cur,
