@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_model_interv", type=int, default=5000)
     p.add_argument("--TB_add_img_interv", type=int, default=50)
     p.add_argument("--pre_trained_model_path", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume params+optimizer+step from the latest "
+                        "checkpoint in save_dir/exp_name (the reference "
+                        "saved the loop position but never used it)")
+    p.add_argument("--loss_type", type=str, default="NLL",
+                   choices=["NLL", "L1"])
     p.add_argument("--save_dir", type=str, default="saved_models")
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--seed", type=int, default=0)
@@ -70,6 +76,7 @@ def main(argv=None):
         lr=args.LR, n_epoch=args.nepoch,
         pose_noise_level=args.pose_noise_level,
         grad_clip_max=args.grad_clip_max, weight_var=args.weight_var,
+        loss_type=args.loss_type,
         save_model_interv=args.save_model_interv,
         tb_add_img_interv=args.TB_add_img_interv, seed=args.seed,
         exp_name=args.exp_name,
@@ -91,7 +98,21 @@ def main(argv=None):
                                 with_labels=True)
     state = create_train_state(cfg, tcfg, sample)
 
-    if args.pre_trained_model_path:
+    save_dir = os.path.join(args.save_dir, args.exp_name)
+    if args.resume:
+        from neuralrgbd_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+        )
+
+        ckpt = latest_checkpoint(save_dir)
+        if ckpt:
+            state, extra = restore_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} at step {int(state.step)} "
+                  f"(cursor: {extra})")
+        else:
+            print(f"--resume: no checkpoint under {save_dir}, fresh start")
+    elif args.pre_trained_model_path:
         from neuralrgbd_tpu.utils.checkpoint import restore_params_partial
 
         params, n_hit = restore_params_partial(args.pre_trained_model_path,
@@ -108,7 +129,6 @@ def main(argv=None):
         train_step = make_sharded_train_step(cfg, tcfg, mesh)
         print(f"data-parallel over {mesh.devices.size} devices")
 
-    save_dir = os.path.join(args.save_dir, args.exp_name)
     state = train_epochs(
         state, cfg, tcfg, make_traj, n_traj, batch_size,
         train_step=train_step, log_dir=exp_log, save_dir=save_dir,

@@ -161,5 +161,6 @@ def window_batch(traj: Trajectory, ref_indx: int, t_win_r: int,
     if with_labels:
         batch["dmap_digit"] = ref.dmap_digit[None]
         batch["dmap_imgsize_digit"] = ref.dmap_imgsize_digit[None]
+        batch["dmap_imgsize"] = ref.dmap_imgsize[None].astype(np.float32)
         batch["lane_valid"] = np.asarray([valid])
     return batch, ref, valid

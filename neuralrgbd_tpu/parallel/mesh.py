@@ -63,7 +63,7 @@ def make_sharded_train_step(cfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
     batch_shardings = {
         "ref": data, "srcs": data, "poses": data, "K": data,
         "pose_next": data, "dmap_digit": data, "dmap_imgsize_digit": data,
-        "lane_valid": data,
+        "dmap_imgsize": data, "lane_valid": data,
     }
 
     return jax.jit(

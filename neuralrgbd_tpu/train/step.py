@@ -90,25 +90,41 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, jit: bool = True):
     d_candi_np = cfg.d_candi
 
     def lane_loss(params, ref, srcs, poses, K, dmap_digit, dmap_img_digit,
-                  bv_predict, bv_valid):
+                  dmap_imgsize, bv_predict, bv_valid):
         cam = Camera(K=K)
         d_candi = jnp.asarray(d_candi_np)
         out = model.apply(params, ref, srcs, poses, cam, d_candi,
                           bv_predict, bv_valid)
-        # 4 NLL terms (train_utils/train_KVNet.py:103-118)
-        loss = nll_dpv_loss(out.bv_cur, dmap_digit)
-        loss += nll_dpv_loss(out.dpv_cur_refined, dmap_img_digit)
-        fused = nll_dpv_loss(out.dpv, dmap_digit)
-        fused += nll_dpv_loss(out.dpv_refined, dmap_img_digit)
-        loss += jnp.where(bv_valid, fused, 0.0)
+        if tcfg.loss_type == "NLL":
+            # 4 NLL terms (train_utils/train_KVNet.py:103-118)
+            loss = nll_dpv_loss(out.bv_cur, dmap_digit)
+            loss += nll_dpv_loss(out.dpv_cur_refined, dmap_img_digit)
+            fused = nll_dpv_loss(out.dpv, dmap_digit)
+            fused += nll_dpv_loss(out.dpv_refined, dmap_img_digit)
+            loss += jnp.where(bv_valid, fused, 0.0)
+        elif tcfg.loss_type == "L1":
+            # legacy L1 + variance branch (train_utils/train_KVNet.py:122-146)
+            from neuralrgbd_tpu.train.loss import l1_variance_loss
+
+            depth_cur = jnp.einsum("dhw,d->hw",
+                                   jnp.exp(out.dpv_cur_refined), d_candi)
+            loss = l1_variance_loss(depth_cur, dmap_imgsize, out.bv_cur,
+                                    d_candi, tcfg.weight_var)
+            depth_kv = jnp.einsum("dhw,d->hw",
+                                  jnp.exp(out.dpv_refined), d_candi)
+            fused = l1_variance_loss(depth_kv, dmap_imgsize, out.dpv,
+                                     d_candi, tcfg.weight_var)
+            loss += jnp.where(bv_valid, fused, 0.0)
+        else:
+            raise ValueError(f"unknown loss_type: {tcfg.loss_type}")
         return loss, out.dpv
 
     def batch_loss(params, batch, bv_predict, bv_valid):
         losses, dpvs = jax.vmap(
-            lane_loss, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0)
+            lane_loss, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0)
         )(params, batch["ref"], batch["srcs"], batch["poses"], batch["K"],
           batch["dmap_digit"], batch["dmap_imgsize_digit"],
-          bv_predict, bv_valid)
+          batch["dmap_imgsize"], bv_predict, bv_valid)
         w = batch["lane_valid"].astype(losses.dtype)
         # mean over valid lanes == reference's loss/nGPU with nGPU=n_valid
         loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
