@@ -17,7 +17,9 @@ from neuralrgbd_tpu.ops.dpv import (
     depth_regression,
     depth_variance,
     confidence_map,
+    dpv_statistics,
     resample_dpv,
+    uniform_dpv,
 )
 from neuralrgbd_tpu.ops.rotations import (
     quat_to_rotation,

@@ -96,20 +96,20 @@ def train_epochs(
                           flush=True)
 
                 if save_dir and total_iter % tcfg.save_model_interv == 0:
-                    save_checkpoint(save_dir, total_iter, state,
+                    save_checkpoint(save_dir, int(state.step), state,
                                     extra={"epoch": epoch,
                                            "group": group_idx,
                                            "frame": frame_idx})
 
                 if max_steps is not None and total_iter >= max_steps:
                     if save_dir:
-                        save_checkpoint(save_dir, total_iter, state)
+                        save_checkpoint(save_dir, int(state.step), state)
                     if writer:
                         writer.close()
                     return state
 
     if save_dir:
-        save_checkpoint(save_dir, total_iter, state)
+        save_checkpoint(save_dir, int(state.step), state)
     if writer:
         writer.close()
     return state
