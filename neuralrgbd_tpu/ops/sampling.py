@@ -40,6 +40,7 @@ def grid_sample_2d(
     coords_xy: jax.Array,
     padding: str = "zeros",
     fast: bool = False,
+    method: str | None = None,
 ) -> jax.Array:
     """Bilinear sample of ``img`` (H, W, C) at pixel coords (..., 2) = (x, y).
 
@@ -54,7 +55,9 @@ def grid_sample_2d(
     for C=3 warps (45 vs 78 ms). Default stays on the 4-tap row-gather
     path; kept for narrow-C experiments and as an independent oracle.
     """
-    if fast:
+    if method == "quad":
+        return _grid_sample_2d_quad(img, coords_xy, padding)
+    if method == "slice" or (method is None and fast):
         return _grid_sample_2d_slice(img, coords_xy, padding)
     return _grid_sample_2d_taps(img, coords_xy, padding)
 
@@ -301,3 +304,70 @@ def _grid_sample_3d_taps(vol, coords_xyz, padding="border"):
         + tap(z0i + 1, y0i + 1, x0i + 1, wx * wy * wz)
     )
     return out.reshape(out_shape)
+
+
+def _grid_sample_2d_quad(img, coords_xy, padding="zeros"):
+    """One gather per output point: the four bilinear taps are pre-packed
+    into one row of a (H*W, 4C) 'quad' image built from shifted copies.
+
+    TPU gathers are index-throughput-bound (row width is nearly free — see
+    PERF.md), so packing taps 4-per-row cuts the gather cost ~4x. The quad
+    build is three shifted copies (O(4x) HBM traffic of one feature map,
+    trivial next to the gather).
+
+    Zeros-padding only (the plane-sweep case). Tap positions shift inside
+    the quad when the base index clamps at the border; |off| > 1 cases are
+    fully weight-masked so any selected value is harmless.
+    """
+    H, W, C = img.shape
+    out_shape = coords_xy.shape[:-1]
+    x = coords_xy[..., 0].reshape(-1)
+    y = coords_xy[..., 1].reshape(-1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    if padding != "zeros":
+        raise ValueError("quad path supports zeros padding only")
+
+    # shifted copies: sx = img[:, x+1], sy = img[y+1, :], sxy = both
+    zx = jnp.zeros((H, 1, C), img.dtype)
+    zy = jnp.zeros((1, W, C), img.dtype)
+    sx = jnp.concatenate([img[:, 1:], zx], axis=1)
+    sy = jnp.concatenate([img[1:], zy], axis=0)
+    sxy = jnp.concatenate([sx[1:], zy], axis=0)
+    quad = jnp.concatenate([img, sx, sy, sxy], axis=-1).reshape(H * W, 4 * C)
+
+    x0c = jnp.clip(x0i, 0, W - 1)
+    y0c = jnp.clip(y0i, 0, H - 1)
+    offx = x0i - x0c
+    offy = y0i - y0c
+
+    rows = jnp.take(quad, y0c * W + x0c, axis=0)       # (N, 4C)
+    q00 = rows[:, 0 * C:1 * C]
+    q01 = rows[:, 1 * C:2 * C]
+    q10 = rows[:, 2 * C:3 * C]
+    q11 = rows[:, 3 * C:4 * C]
+
+    def tap(ay, ax, w):
+        py = offy + ay   # position within the quad's y pair
+        px = offx + ax
+        vy0 = jnp.where(px[:, None] == 0, q00, q01)
+        vy1 = jnp.where(px[:, None] == 0, q10, q11)
+        v = jnp.where(py[:, None] == 0, vy0, vy1)
+        xi = x0i + ax
+        yi = y0i + ay
+        inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1))
+        return v * (w * inb.astype(img.dtype))[:, None]
+
+    out = (
+        tap(0, 0, (1 - wx) * (1 - wy))
+        + tap(0, 1, wx * (1 - wy))
+        + tap(1, 0, (1 - wx) * wy)
+        + tap(1, 1, wx * wy)
+    )
+    return out.reshape(*out_shape, C)

@@ -23,6 +23,17 @@ def _rand_grid(rng, shape, lo=-1.4, hi=1.4):
     return rng.uniform(lo, hi, size=shape).astype(np.float32)
 
 
+def test_quad_matches_taps(rng):
+    H, W, C = 11, 15, 7
+    img = rng.randn(H, W, C).astype(np.float32)
+    coords = rng.uniform(-20, 30, size=(800, 2)).astype(np.float32)
+    a = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords),
+                                  "zeros", method="quad"))
+    b = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords),
+                                  "zeros"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_fast_matches_taps_far_out_of_range(rng):
     """Far-out-of-frustum coords (|g| >> 1) through both gather paths."""
     H, W, C = 9, 11, 4
