@@ -171,7 +171,7 @@ def main(argv=None):
             print(f"metric scale from DSO baselines: {scale:.4f}")
 
         # ---- KV-Net inference ----
-        traj._cache.clear()  # poses changed; cached FrameRecords are stale
+        traj.refresh_poses()  # poses changed; keep decoded images cached
         batch_np, ref_rec, _ = window_batch(traj, ref_indx, t_win_r, step)
         batch = jax.tree.map(jnp.asarray, batch_np)
         out = infer_step(params, batch, bv_predict, bv_valid)

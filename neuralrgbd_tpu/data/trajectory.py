@@ -92,6 +92,15 @@ class Trajectory:
             self._cache.popitem(last=False)
         return rec
 
+    def refresh_poses(self) -> None:
+        """Re-read poses into cached records without re-decoding images.
+
+        The LBA pipeline mutates the trajectory's poses after every frame
+        (test_KVNet_LBA.py:504-512); this keeps the image/depth cache warm
+        while picking up the new extrinsics."""
+        for idx, rec in self._cache.items():
+            rec.ext_M = self.pose_loader(idx)
+
     def _load(self, idx: int) -> FrameRecord:
         img, raw = pp.load_image(self.img_paths[idx], self.img_size_wh)
         ext_M = self.pose_loader(idx)
