@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_width", type=int, default=384)
     p.add_argument("--img_height", type=int, default=256)
     p.add_argument("--res_dir", type=str, default="results")
+    p.add_argument("--multi_device", action="store_true",
+                   help="run the listed --traj_idx trajectories in lockstep, "
+                        "one per device (data mesh)")
     return p
 
 
@@ -90,8 +93,19 @@ def main(argv=None):
         raise ValueError(args.dataset)
 
     params = _init_or_load_params(cfg, args, get_traj(args.traj_idx[0]))
-    infer_step = make_infer_step(cfg)
 
+    if args.multi_device and len(args.traj_idx) > 1:
+        from neuralrgbd_tpu.infer.loop import run_trajectories_parallel
+
+        trajs = [get_traj(i) for i in args.traj_idx]
+        res_dirs = [os.path.join(args.res_dir, f"{args.exp_name}_{i}")
+                    for i in args.traj_idx]
+        counts = run_trajectories_parallel(params, cfg, trajs, res_dirs)
+        for i, n in zip(args.traj_idx, counts):
+            print(f"trajectory {i}: exported {n} frames")
+        return
+
+    infer_step = make_infer_step(cfg)
     for traj_idx in args.traj_idx:
         traj = get_traj(traj_idx)
         res_dir = os.path.join(args.res_dir, f"{args.exp_name}_{traj_idx}")
