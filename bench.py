@@ -34,7 +34,7 @@ def main():
     from neuralrgbd_tpu.infer.rollout import make_rollout
     from neuralrgbd_tpu.train import create_train_state
 
-    cfg = ModelConfig()
+    cfg = ModelConfig(dtype=os.environ.get("BENCH_DTYPE", "float32"))
     T = int(os.environ.get("BENCH_FRAMES", "8"))
     batch, _ = synthetic_batch(cfg, n_lanes=1, img_hw=(256, 384), seed=0)
     state = create_train_state(cfg, TrainConfig(), batch)
