@@ -1,0 +1,154 @@
+"""Full-model numerical parity against the reference torch KVNET.
+
+Runs the actual reference implementation (/root/reference/code, imported at
+runtime on CPU torch by tools/ref_oracle.py) as an oracle: its random-init
+state_dict is pulled through ``utils/torch_import.import_torch_state_dict``
+and the composed forward — importer name map x layout transforms x sweep
+geometry x BN batch statistics x R-Net plumbing — is asserted end to end on
+identical inputs, for both the first-frame path and the K-Net fusion path
+(``KVNET.py:93-185``), plus the Bayesian prediction resample
+(``test_utils/test_KVNet.py:47-62``).
+
+This is the test that makes released-weight parity checkable: any transposed
+kernel flip, BN scale/bias swap, or half-pixel convention drift anywhere in
+the stack fails here.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from neuralrgbd_tpu.config import ModelConfig  # noqa: E402
+from neuralrgbd_tpu.models.kvnet import KVNet  # noqa: E402
+from neuralrgbd_tpu.ops.camera import camera_from_K  # noqa: E402
+from neuralrgbd_tpu.ops.dpv import resample_dpv  # noqa: E402
+from neuralrgbd_tpu.utils.torch_import import import_torch_state_dict  # noqa: E402
+
+# The reference architecture only closes at feature_dim=64: the R-Net's C1 is
+# hardwired to feature_dim/2 (KVNET.py:83-85) while the layer1 skip is always
+# 32 channels (psm_submodule.py:94), so 64 is the one self-consistent value —
+# and the one the released weights use. D and the window are free.
+FEATURE_DIM = 64
+NDEPTH = 16
+T_WIN_R = 2
+IMG_HW = (256, 384)
+
+
+@pytest.fixture(scope="module")
+def oracle_bundle():
+    from tools.ref_oracle import ReferenceOracle
+
+    oracle = ReferenceOracle(feature_dim=FEATURE_DIM, ndepth=NDEPTH,
+                             t_win_r=T_WIN_R, img_hw=IMG_HW, seed=0)
+    rng = np.random.RandomState(7)
+    H, W = IMG_HW
+    V = 2 * T_WIN_R
+    ref = rng.randn(H, W, 3).astype(np.float32)
+    srcs = rng.randn(V, H, W, 3).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    for v in range(V):
+        angle = 0.03 * (v - V / 2)
+        c, s = np.cos(angle), np.sin(angle)
+        poses[v, :3, :3] = np.array(
+            [[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
+        poses[v, :3, 3] = rng.randn(3).astype(np.float32) * 0.08
+
+    out_first = oracle.forward(ref, srcs, poses)
+
+    # a non-trivial valid prediction for the fusion path
+    logits = rng.randn(NDEPTH, H // 4, W // 4).astype(np.float32)
+    bv_predict = logits - np.log(np.sum(np.exp(logits), axis=0,
+                                        keepdims=True))
+    out_fused = oracle.forward(ref, srcs, poses, bv_predict)
+    pred_next = oracle.predict_next(out_fused["dpv"],
+                                    np.linalg.inv(poses[T_WIN_R]))
+
+    return {
+        "oracle": oracle,
+        "state_dict": oracle.state_dict(),
+        "inputs": (ref, srcs, poses, bv_predict),
+        "out_first": out_first,
+        "out_fused": out_fused,
+        "pred_next": pred_next,
+    }
+
+
+@pytest.fixture(scope="module")
+def our_model(oracle_bundle):
+    import jax
+
+    cfg = ModelConfig(feature_dim=FEATURE_DIM, kv_feature_dim=FEATURE_DIM,
+                      ndepth=NDEPTH, t_win_r=T_WIN_R)
+    model = KVNet(cfg=cfg, single_refine=False)
+    ref, srcs, poses, bv_predict = oracle_bundle["inputs"]
+    cam = camera_from_K(oracle_bundle["oracle"].K_dpv)
+    d_candi = jnp.asarray(oracle_bundle["oracle"].d_candi)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ref), jnp.asarray(srcs),
+        jnp.asarray(poses), cam, d_candi, jnp.asarray(bv_predict),
+        jnp.asarray(True),
+    )
+    params, report = import_torch_state_dict(
+        oracle_bundle["state_dict"], params)
+    # every one of our leaves must be overwritten by a torch tensor
+    assert report["n_imported"] == report["n_params_total"], report
+    assert not report["missing_flax_keys"], report
+    assert not report["shape_mismatches"], report
+
+    apply = jax.jit(model.apply, static_argnames=())
+
+    def run(bv_predict_np, valid):
+        out = apply(params, jnp.asarray(ref), jnp.asarray(srcs),
+                    jnp.asarray(poses), cam, d_candi,
+                    jnp.asarray(bv_predict_np), jnp.asarray(valid))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    return cfg, cam, d_candi, run
+
+
+def _close(ours, ref, name, atol):
+    np.testing.assert_allclose(
+        ours, ref, rtol=2e-4, atol=atol,
+        err_msg=f"{name}: full-model divergence vs reference torch KVNET")
+
+
+def test_first_frame_path(oracle_bundle, our_model):
+    _, _, _, run = our_model
+    _, _, _, bv_predict = oracle_bundle["inputs"]
+    out = run(bv_predict, False)
+    ref = oracle_bundle["out_first"]
+    _close(out.bv_cur, ref["bv_cur"], "bv_cur", atol=2e-3)
+    _close(out.dpv, ref["dpv"], "dpv", atol=2e-3)
+    _close(out.dpv_cur_refined, ref["dpv_cur_refined"], "dpv_cur_refined",
+           atol=5e-3)
+    _close(out.dpv_refined, ref["dpv_refined"], "dpv_refined", atol=5e-3)
+
+
+def test_knet_fusion_path(oracle_bundle, our_model):
+    _, _, _, run = our_model
+    _, _, _, bv_predict = oracle_bundle["inputs"]
+    out = run(bv_predict, True)
+    ref = oracle_bundle["out_fused"]
+    _close(out.bv_cur, ref["bv_cur"], "bv_cur", atol=2e-3)
+    _close(out.dpv, ref["dpv"], "dpv(fused)", atol=2e-3)
+    _close(out.dpv_refined, ref["dpv_refined"], "dpv_refined(fused)",
+           atol=5e-3)
+
+
+def test_prediction_resample(oracle_bundle, our_model):
+    import math
+
+    _, cam, d_candi, run = our_model
+    _, _, poses, bv_predict = oracle_bundle["inputs"]
+    out = run(bv_predict, True)
+    D = NDEPTH
+    rel = jnp.asarray(np.linalg.inv(poses[T_WIN_R]))
+    pred = resample_dpv(jnp.asarray(out.dpv), rel, cam, d_candi,
+                        padding_value=math.log(1.0 / D),
+                        clamp_to=(-1000.0, 0.0))
+    np.testing.assert_allclose(np.asarray(pred), oracle_bundle["pred_next"],
+                               rtol=2e-4, atol=5e-3)
