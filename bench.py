@@ -35,7 +35,8 @@ def main():
     from neuralrgbd_tpu.train import create_train_state
 
     cfg = ModelConfig(dtype=os.environ.get("BENCH_DTYPE", "float32"))
-    T = int(os.environ.get("BENCH_FRAMES", "8"))
+    T = int(os.environ.get("BENCH_FRAMES", "32"))
+    REPS = int(os.environ.get("BENCH_REPS", "3"))
     batch, _ = synthetic_batch(cfg, n_lanes=1, img_hw=(256, 384), seed=0)
     state = create_train_state(cfg, TrainConfig(), batch)
 
@@ -55,14 +56,24 @@ def main():
     valid = jnp.ones((1,), bool)
 
     float(run(state.params, frames, bvp, valid))  # compile + warm
-    t0 = time.perf_counter()
-    s = float(run(state.params, frames, bvp, valid))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    fps = T / dt
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        s = float(run(state.params, frames, bvp, valid))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(s)
+    fps = T / float(np.median(times))
 
-    ref_fps = os.environ.get("NEURALRGBD_REF_FPS")
-    vs = round(fps / float(ref_fps), 3) if ref_fps else None
+    # vs_baseline: the reference publishes no FPS number. The measured datum
+    # is the actual reference implementation at 0.0640 FPS on this machine's
+    # torch CPU (tools/measure_ref_fps.py); BASELINE.md extrapolates that to
+    # an estimated 5 FPS on the reference's 2019-era GPU (documented there,
+    # deliberately generous to the reference). That estimate is the
+    # denominator here, overridable via NEURALRGBD_REF_FPS.
+    ref_fps = float(os.environ.get("NEURALRGBD_REF_FPS", "0") or 0)
+    if not ref_fps:
+        ref_fps = 5.0  # estimated reference GPU FPS (BASELINE.md, round 2)
+    vs = round(fps / ref_fps, 3)
     print(json.dumps({
         "metric": "kvnet_infer_fps_384x256_d64_twin2",
         "value": round(fps, 3),
