@@ -72,7 +72,9 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True):
       K        (N, 3, 3)      intrinsics at DPV resolution
       pose_next (N, 4, 4)     relative extrinsic ref->next-ref
     """
-    model = KVNet(cfg=cfg, single_refine=True)
+    # TPU: fused Pallas sweep (inference has no grads through the warp)
+    model = KVNet(cfg=cfg, single_refine=True,
+                  fast_sweep=jax.default_backend() == "tpu")
 
     def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
         cam = Camera(K=K)

@@ -51,6 +51,12 @@ class KVNet(nn.Module):
     # dpv == bv_cur), so one pass suffices and saves ~6.5 ms/frame.
     # Training needs both (both enter the loss) => keep False there.
     single_refine: bool = False
+    # Inference-only: route the plane-sweep through the fused Pallas kernel
+    # (ops/pallas/sweep_fused.py, 23 -> 6.9 ms/frame on v5e). Not
+    # differentiable; taps run at the TPU's default matmul precision (the
+    # same bf16-class precision every conv already uses). Training keeps the
+    # XLA sweep, which autodiffs through the gathers.
+    fast_sweep: bool = False
 
     @nn.compact
     def __call__(
@@ -94,13 +100,25 @@ class KVNet(nn.Module):
         # warps: the last 3 swept channels are the 1/4-res RGB frames the
         # reference re-warps separately (KVNET.py:149-161).
         keep = 3 if cfg.use_img_intensity else 0
-        swept = sweep_cost_volume(
-            feat_ref_sw.astype(jnp.float32),
-            feat_srcs_sw.astype(jnp.float32),
-            Rs, ts, cam, d_candi,
-            sigma=cfg.sigma_soft_max, feat_dist=cfg.feat_dist,
-            keep_last_channels=keep,
-        )
+        if self.fast_sweep and feat_ref_sw.shape[1] <= 128:
+            from neuralrgbd_tpu.ops.pallas.sweep_fused import (
+                sweep_cost_volume_fused)
+
+            swept = sweep_cost_volume_fused(
+                feat_ref_sw.astype(jnp.float32),
+                feat_srcs_sw.astype(jnp.float32),
+                Rs, ts, cam, d_candi,
+                sigma=cfg.sigma_soft_max, feat_dist=cfg.feat_dist,
+                keep_last_channels=keep,
+            )
+        else:
+            swept = sweep_cost_volume(
+                feat_ref_sw.astype(jnp.float32),
+                feat_srcs_sw.astype(jnp.float32),
+                Rs, ts, cam, d_candi,
+                sigma=cfg.sigma_soft_max, feat_dist=cfg.feat_dist,
+                keep_last_channels=keep,
+            )
         cost, warped_rgb = swept if keep else (swept, None)  # (D, h, w)
         bv_cur = jax.nn.log_softmax(-cost, axis=0)
 

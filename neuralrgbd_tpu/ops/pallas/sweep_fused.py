@@ -1,0 +1,251 @@
+"""Fused Pallas plane-sweep kernel (cost volume + kept K-Net channels).
+
+The XLA formulation of ``ops.sweep.sweep_cost_volume`` is HBM-bound: per
+(view, depth, pixel) it gathers 4 bilinear taps of C~67-float feature rows
+(~1.7 GB of tap traffic per frame) before reducing over channels —
+~23 ms/frame on v5e, the single largest step component. This kernel keeps
+one source view's features VMEM-resident and reduces channels on-chip.
+
+Key idea: bilinear warping of a whole output row is a *matmul with a sparse
+selection matrix*. For output row (view v, depth d, y_out), the four taps of
+every output pixel x_out factor separably:
+
+    warp[x_out, c] = sum_b Ay[b, x_out] * (sum_xs AxT[xs, x_out] * src[yb+b, xs, c])
+
+where AxT (W x W) holds the two x-tap weights ((1-wx), wx) one-hot'd at the
+clamped tap columns, and Ay (BY x W) holds the two y-tap weights over a
+narrow *band* of BY source rows. The inner sum is a (C, W) @ (W, W) MXU
+matmul per band row; the outer sum is a VPU broadcast-accumulate. The warped
+row then yields the cost reduction sum_c(warp - ref)^2 AND the warped
+last-k channels (the K-Net input RGB) in the same pass — no HBM tap traffic
+at all.
+
+Semantics match ``sweep_cost_volume`` (zero padding: out-of-frustum taps are
+weight-masked so fully-out pixels contribute the bare ||ref||^2 term;
+align_corners pixel mapping via the shared ``_sweep_pixel_coords``) with two
+caveats:
+
+- the y taps of one output row must fit a BY-row source band (row "tilt"
+  from inter-frame rotation < BY-1 px across the image width; ~4 deg of roll
+  at the 96-px operating point for BY=8 — same argument, and the same kind of
+  documented bound, as ``ops/pallas/resample.py``). ``band_spread`` below
+  measures the actual requirement for a given pose set.
+- the per-row matmuls run at the TPU's default matmul precision (fp32
+  operands computed at bf16-class precision, like every conv in the model);
+  pass ``precision=jax.lax.Precision.HIGHEST`` for fp32-exact taps at ~3x
+  the matmul cost.
+
+NOT differentiable: the inference fast path only (training keeps the XLA
+sweep, which autodiffs through the gathers).
+
+Reference parity target: ``est_swp_volume_v4`` + ``warp_img_feats_v3``
+(``/root/reference/code/warping/homography.py:293-331,234-280``) via the
+XLA oracle ``ops.sweep.sweep_cost_volume(keep_last_channels=k)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neuralrgbd_tpu.ops.camera import Camera
+from neuralrgbd_tpu.ops.sweep import _sweep_pixel_coords
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision):
+    """Grid cell = (view, y_out). Loops over the D depth hypotheses.
+
+    px/py_ref: (1, 1, D, WP)  source-view pixel coords for this output row
+    src_ref:   (1, H, CP, WP) one view's features, channels on sublanes
+    ref_ref:   (1, CP, WP)    reference features for this output row
+    cost_ref:  (1, 1, D, WP)  per-view cost rows (summed over views in XLA)
+    kept_ref:  (1, 1, k, D, WP) warped last-k channels (absent when k == 0)
+    """
+    def kernel(px_ref, py_ref, src_ref, ref_ref, cost_ref, *maybe_kept):
+        kept_ref = maybe_kept[0] if k else None
+        ref_row = ref_ref[0]
+
+        def depth_body(d, _):
+            px = px_ref[0, 0, d, :]
+            py = py_ref[0, 0, d, :]
+
+            x0f = jnp.floor(px)
+            y0f = jnp.floor(py)
+            wx = px - x0f
+            wy = py - y0f
+            x0 = x0f.astype(jnp.int32)
+            y0 = y0f.astype(jnp.int32)
+
+            inbx0 = ((x0 >= 0) & (x0 <= W - 1)).astype(jnp.float32)
+            inbx1 = ((x0 + 1 >= 0) & (x0 + 1 <= W - 1)).astype(jnp.float32)
+            inby0 = ((y0 >= 0) & (y0 <= H - 1)).astype(jnp.float32)
+            inby1 = ((y0 + 1 >= 0) & (y0 + 1 <= H - 1)).astype(jnp.float32)
+
+            x0c = jnp.clip(x0, 0, W - 1)
+            x1c = jnp.clip(x0 + 1, 0, W - 1)
+            y0c = jnp.clip(y0, 0, H - 1)
+            y1c = jnp.clip(y0 + 1, 0, H - 1)
+
+            valid_row = (y0 + 1 >= 0) & (y0 <= H - 1)
+            ybase = jnp.min(jnp.where(valid_row, y0c, H - 1))
+            ybase = jnp.clip(ybase, 0, max(H - BY, 0))
+
+            biota = jax.lax.broadcasted_iota(jnp.int32, (BY, WP), 0) + ybase
+            ay = (
+                jnp.where(biota == y0c[None, :], (1.0 - wy) * inby0, 0.0)
+                + jnp.where(biota == y1c[None, :], wy * inby1, 0.0)
+            )
+
+            siota = jax.lax.broadcasted_iota(jnp.int32, (WP, WP), 0)
+            axt = (
+                jnp.where(siota == x0c[None, :],
+                          ((1.0 - wx) * inbx0)[None, :], 0.0)
+                + jnp.where(siota == x1c[None, :],
+                            (wx * inbx1)[None, :], 0.0)
+            )
+
+            band = src_ref[0, pl.ds(ybase, BY)]            # (BY, CP, WP)
+            warp = jnp.zeros((CP, WP), jnp.float32)
+            for b in range(BY):
+                p_b = jax.lax.dot_general(
+                    band[b], axt,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                warp = warp + ay[b][None, :] * p_b
+
+            diff = warp - ref_row
+            if l1:
+                cost = jnp.sum(jnp.abs(diff), axis=0)
+            else:
+                cost = jnp.sum(diff * diff, axis=0)
+            cost_ref[0, 0, d, :] = cost
+            if k:
+                kept_ref[0, 0, :, d, :] = warp[kept_base:kept_base + k]
+            return 0
+
+        jax.lax.fori_loop(0, D, depth_body, 0)
+
+    return kernel
+
+
+def sweep_cost_volume_fused(
+    ref_feat: jax.Array,    # (H, W, C)
+    src_feats: jax.Array,   # (V, H, W, C)
+    Rs: jax.Array,          # (V, 3, 3)
+    ts: jax.Array,          # (V, 3)
+    cam: Camera,
+    d_candi: jax.Array,     # (D,)
+    sigma: float,
+    feat_dist: str = "L2",
+    keep_last_channels: int = 0,
+    band: int = 8,
+    precision=None,
+    interpret: bool = False,
+):
+    """Drop-in fast path for ``ops.sweep.sweep_cost_volume`` (same returns)."""
+    V, H, W, C = src_feats.shape
+    D = int(d_candi.shape[0])
+    k = keep_last_channels
+    if W > LANES:
+        raise ValueError(f"fused sweep supports W <= {LANES}, got {W}")
+    if feat_dist not in ("L2", "L1"):
+        raise ValueError(f"undefined feature distance: {feat_dist}")
+    BY = min(band, H)
+    WP = LANES
+    CP = _round_up(C, 8)
+
+    # ---- coordinates (shared formula with the XLA path) ----
+    def view_coords(R, t):
+        c = _sweep_pixel_coords(cam, R, t, d_candi, H, W)   # (D, HW, 2)
+        return c.reshape(D, H, W, 2)
+
+    coords = jax.vmap(view_coords)(Rs, ts)                  # (V, D, H, W, 2)
+    # keep int32 tap math sane for far-out-of-frustum points (weights are
+    # masked to zero there anyway); edge-pad the lane axis so pad lanes
+    # can't perturb the per-row band minimum. Row-major blocks want the
+    # output row axis ahead of depth: (V, H, D, WP).
+    px = jnp.clip(coords[..., 0], -4.0, W + 3.0).transpose(0, 2, 1, 3)
+    py = jnp.clip(coords[..., 1], -4.0, H + 3.0).transpose(0, 2, 1, 3)
+    px = jnp.pad(px, ((0, 0),) * 3 + ((0, WP - W),), mode="edge")
+    py = jnp.pad(py, ((0, 0),) * 3 + ((0, WP - W),), mode="edge")
+
+    # channels-on-sublanes layout: (V, H, CP, WP) / (H, CP, WP)
+    srcT = jnp.pad(
+        src_feats.astype(jnp.float32).transpose(0, 1, 3, 2),
+        ((0, 0), (0, 0), (0, CP - C), (0, WP - W)),
+    )
+    refT = jnp.pad(
+        ref_feat.astype(jnp.float32).transpose(0, 2, 1),
+        ((0, 0), (0, CP - C), (0, WP - W)),
+    )
+
+    kernel = _make_kernel(D, H, W, WP, CP, BY, k, kept_base=C - k,
+                          l1=(feat_dist == "L1"), precision=precision)
+
+    out_shape = [jax.ShapeDtypeStruct((V, H, D, WP), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if k:
+        out_shape.append(jax.ShapeDtypeStruct((V, H, k, D, WP), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, k, D, WP),
+                                      lambda v, y: (v, y, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(V, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, CP, WP), lambda v, y: (v, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CP, WP), lambda v, y: (y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if k else out_specs[0],
+        out_shape=out_shape if k else out_shape[0],
+        interpret=interpret,
+    )(px, py, srcT, refT)
+
+    cost_v = outs[0] if k else outs                         # (V, H, D, WP)
+    cost = (jnp.sum(cost_v[..., :W], axis=0) / sigma).transpose(1, 0, 2)
+    if not k:
+        return cost
+    kept = outs[1][..., :W].transpose(0, 3, 1, 4, 2)        # (V, D, H, W, k)
+    return cost, kept
+
+
+def band_spread(Rs, ts, cam: Camera, d_candi, height: int, width: int):
+    """Max per-row y-tap spread (in source rows) the kernel must cover.
+
+    The fused kernel is exact iff this is <= band - 1. Returns a scalar
+    (max over views, depths, rows of in-bounds y0 spread). XLA, test/debug
+    helper — not called on the hot path.
+    """
+    D = d_candi.shape[0]
+    H, W = height, width
+
+    def per_view(R, t):
+        c = _sweep_pixel_coords(cam, R, t, d_candi, H, W).reshape(D, H, W, 2)
+        py = jnp.clip(c[..., 1], -4.0, H + 3.0)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        valid = (y0 + 1 >= 0) & (y0 <= H - 1)
+        y0c = jnp.clip(y0, 0, H - 1)
+        lo = jnp.min(jnp.where(valid, y0c, H - 1), axis=-1)   # (D, H)
+        hi = jnp.max(jnp.where(valid, jnp.clip(y0 + 1, 0, H - 1), 0), axis=-1)
+        any_valid = jnp.any(valid, axis=-1)
+        return jnp.max(jnp.where(any_valid, hi - lo, 0))
+
+    return jnp.max(jax.vmap(per_view)(Rs, ts))
