@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_max", type=float, default=5.0)
     p.add_argument("--ndepth", type=int, default=64)
     p.add_argument("--sigma_soft_max", type=float, default=10.0)
+    p.add_argument("--refine_net", type=str, default="DPV",
+                   choices=["DPV", "DGF"],
+                   help="refinement head (--refineNet_name, KVNET.py:80-85)")
     p.add_argument("--feature_dim", type=int, default=64)
     p.add_argument("--frame_interv", type=int, default=5)
     p.add_argument("--dat_indx_step", type=int, default=1,
@@ -53,6 +56,7 @@ def main(argv=None):
         feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
         ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
         sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
+        refine_net=args.refine_net,
     )
     img_wh = (args.img_width, args.img_height)
 
@@ -144,7 +148,8 @@ def _init_or_load_params(cfg, args, traj):
         )
 
         sd = load_torch_checkpoint(args.model_path)
-        params, report = import_torch_state_dict(sd, params)
+        params, report = import_torch_state_dict(
+            sd, params, refine_net=args.refine_net)
         print(f"imported {report['n_imported']}/{report['n_params_total']} "
               f"tensors from torch checkpoint {args.model_path}")
         if report["unmatched_torch_keys"]:

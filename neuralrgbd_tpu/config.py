@@ -29,6 +29,11 @@ class ModelConfig:
     feat_dist: str = "L2"
     use_img_intensity: bool = True
     refine_channel: int = 3        # RGB guide for the R-Net
+    # --refineNet_name (KVNET.py:80-85): 'DPV' refines the probability
+    # volume (RefineNet_DPV_upsample); 'DGF' regresses a low-res depth map
+    # and upsamples it with the deep guided filter (RefineNet_DGF). With
+    # 'DGF' the refined outputs are depth maps, not DPVs.
+    refine_net: str = "DPV"
     # BatchNorm: the reference uses track_running_stats=False, i.e. batch
     # statistics at train AND eval (psm_submodule.py:10-16). Keep True for
     # weight-import parity; False switches to standard running-stats BN.

@@ -83,10 +83,22 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True):
             params, ref, srcs, poses, cam, d_candi, bv_predict, bv_valid
         )
         bv_next = predict_next(out.dpv, pose_next, cam, d_candi)
-        # refined-DPV depth regression + confidence (export_res.py:43-62)
-        p = jnp.exp(out.dpv_refined)
-        depth = jnp.einsum("dhw,d->hw", p, d_candi)
-        conf = jnp.max(p, axis=0)
+        if cfg.refine_net == "DGF":
+            # the DGF head already emits a depth map at image resolution;
+            # confidence comes from the low-res posterior, upsampled (the
+            # reference defines no DGF export path — this mirrors the DPV
+            # head's exp(max_d) definition at the DPV's native resolution)
+            from neuralrgbd_tpu.models.layers import upsample_bilinear_ac
+
+            depth = out.dpv_refined
+            conf_lr = jnp.max(jnp.exp(out.dpv), axis=0)
+            conf = upsample_bilinear_ac(conf_lr[..., None],
+                                        depth.shape)[..., 0]
+        else:
+            # refined-DPV depth regression + confidence (export_res.py:43-62)
+            p = jnp.exp(out.dpv_refined)
+            depth = jnp.einsum("dhw,d->hw", p, d_candi)
+            conf = jnp.max(p, axis=0)
         return out.dpv, out.dpv_refined, bv_next, depth, conf
 
     def infer_step(params, batch, bv_predict, bv_valid) -> InferStepOutput:

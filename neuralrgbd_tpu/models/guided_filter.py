@@ -84,9 +84,12 @@ class FastGuidedFilter:
 
 
 class RefineNetDGF(nn.Module):
-    """Deep-guided-filter refinement head (RefineNet_DGF, Refine.py:587-641):
-    a small conv stack turns the RGB frame into a 1-channel guide, then a
-    fast guided filter upsamples the low-res depth map."""
+    """Deep-guided-filter refinement head, exact ``RefineNet_DGF`` parity
+    (Refine.py:587-641): bilinearly upsample the low-res depth map
+    (align_corners, scale = H/h), turn the RGB frame into a 1-channel guide
+    with Conv2d(3,64,1) + ReLU + Conv2d(64,1,1) (``feature_ext``,
+    Refine.py:598-601), then apply the full-res GuidedFilter(r=1, eps=1e-8).
+    Module names follow the torch state_dict for the weight importer."""
 
     r: int = 1
     eps: float = 1e-8
@@ -95,15 +98,13 @@ class RefineNetDGF(nn.Module):
     @nn.compact
     def __call__(self, dmap_lowres: jax.Array, img: jax.Array) -> jax.Array:
         """dmap_lowres (h, w); img (H, W, 3) full-res guide. Returns (H, W)."""
-        from neuralrgbd_tpu.models.layers import ConvB, leaky_relu
+        from neuralrgbd_tpu.models.layers import ConvB
 
-        g = leaky_relu(ConvB(16, 3, 1, 1, use_bias=True, dtype=self.dtype,
-                             name="guide0")(img[None]))
-        g = leaky_relu(ConvB(16, 3, 1, 1, use_bias=True, dtype=self.dtype,
-                             name="guide1")(g))
+        H, W = img.shape[0], img.shape[1]
+        g = nn.relu(ConvB(64, 1, 1, 0, use_bias=True, dtype=self.dtype,
+                          name="feature_ext_0")(img[None]))
         g = ConvB(1, 1, 1, 0, use_bias=True, dtype=self.dtype,
-                  name="guide2")(g)[0, :, :, 0]
-        h, w = dmap_lowres.shape
-        scale = img.shape[0] // h
-        g_lr = g.reshape(h, scale, w, scale).mean(axis=(1, 3))
-        return FastGuidedFilter(self.r, self.eps)(g_lr, dmap_lowres, g)
+                  name="feature_ext_2")(g)[0, :, :, 0]
+        dmap_up = upsample_bilinear_ac(dmap_lowres[..., None],
+                                       (H, W))[..., 0]
+        return GuidedFilter(self.r, self.eps)(g, dmap_up)

@@ -35,7 +35,8 @@ from neuralrgbd_tpu.ops.sweep import sweep_cost_volume, warp_to_ref_over_depths
 
 class KVNetOutput(NamedTuple):
     """All DPVs are log-scale. Low-res DPVs are (D, h, w); refined DPVs are
-    (D, H, W) at image resolution."""
+    (D, H, W) at image resolution — except with ``refine_net='DGF'``, where
+    the refined fields are (H, W) depth maps (KVNET.py:127-134,175-182)."""
 
     bv_cur: jax.Array           # D-Net measurement
     dpv: jax.Array              # fused posterior (== bv_cur on first frame)
@@ -123,16 +124,27 @@ class KVNet(nn.Module):
         bv_cur = jax.nn.log_softmax(-cost, axis=0)
 
         # ---- R-Net on the measurement ----
-        r_net = RNet(D=cfg.ndepth, dtype=dtype, name="r_net")
+        if cfg.refine_net == "DGF":
+            from neuralrgbd_tpu.models.guided_filter import RefineNetDGF
 
-        def refine(dpv_log):
-            out = r_net(
-                jnp.exp(dpv_log).transpose(1, 2, 0)[None],  # (1, h, w, D)
-                feat_ref[None],
-                layer1_ref[None],
-                ref_frame[None],
-            )[0]
-            return out.transpose(2, 0, 1)  # (D, H, W)
+            r_net = RefineNetDGF(dtype=dtype, name="r_net")
+
+            def refine(dpv_log):
+                # depth-regress the low-res DPV, guided-filter upsample
+                # (KVNET.py:127-131,178-179)
+                dmap_lr = jnp.einsum("dhw,d->hw", jnp.exp(dpv_log), d_candi)
+                return r_net(dmap_lr, ref_frame)  # (H, W) depth map
+        else:
+            r_net = RNet(D=cfg.ndepth, dtype=dtype, name="r_net")
+
+            def refine(dpv_log):
+                out = r_net(
+                    jnp.exp(dpv_log).transpose(1, 2, 0)[None],  # (1, h, w, D)
+                    feat_ref[None],
+                    layer1_ref[None],
+                    ref_frame[None],
+                )[0]
+                return out.transpose(2, 0, 1)  # (D, H, W)
 
         dpv_cur_refined = None if self.single_refine else refine(bv_cur)
 

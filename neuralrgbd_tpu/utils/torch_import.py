@@ -40,8 +40,11 @@ def _conv_bias(torch_prefix: str, flax_prefix: str):
     }
 
 
-def build_name_map() -> Dict[str, Tuple[str, str]]:
-    """torch state_dict key -> (flax path 'a/b/c/leaf', transform)."""
+def build_name_map(refine_net: str = "DPV") -> Dict[str, Tuple[str, str]]:
+    """torch state_dict key -> (flax path 'a/b/c/leaf', transform).
+
+    ``refine_net`` selects the r_net section: 'DPV' (RefineNet_DPV_upsample)
+    or 'DGF' (RefineNet_DGF, Refine.py:587-641)."""
     m: Dict[str, Tuple[str, str]] = {}
 
     # ---- feature extractor (psm_submodule.feature_extraction) ----
@@ -78,8 +81,15 @@ def build_name_map() -> Dict[str, Tuple[str, str]]:
     m.update(_convbn(f"{kv_t}.classify.0", f"{kv_f}/classify_0", dims=3))
     m[f"{kv_t}.classify.2.weight"] = (f"{kv_f}/classify_1/kernel", "conv3d")
 
-    # ---- R-Net (Refine.RefineNet_DPV_upsample) ----
+    # ---- R-Net ----
     r_t, r_f = "r_net", "r_net"
+    if refine_net == "DGF":
+        # RefineNet_DGF.feature_ext = Sequential(Conv2d(3,64,1), ReLU,
+        # Conv2d(64,1,1)) (Refine.py:598-601)
+        m.update(_conv_bias(f"{r_t}.feature_ext.0", f"{r_f}/feature_ext_0"))
+        m.update(_conv_bias(f"{r_t}.feature_ext.2", f"{r_f}/feature_ext_2"))
+        return m
+    # Refine.RefineNet_DPV_upsample
     for name in ("conv0", "conv0_1", "conv1", "conv1_1", "conv2", "conv2_1"):
         m.update(_conv_bias(f"{r_t}.{name}.0", f"{r_f}/{name}"))
     m.update(_conv_bias(f"{r_t}.conv2_2", f"{r_f}/conv2_2"))
@@ -109,7 +119,8 @@ def _strip_prefix(key: str) -> str:
     return key
 
 
-def import_torch_state_dict(state_dict, params, strict_shapes: bool = True):
+def import_torch_state_dict(state_dict, params, strict_shapes: bool = True,
+                            refine_net: str = "DPV"):
     """Map a torch state_dict (tensors or ndarrays) onto a flax param tree.
 
     Returns (new_params, report dict). The D-Net duplicates the feature
@@ -118,7 +129,7 @@ def import_torch_state_dict(state_dict, params, strict_shapes: bool = True):
     """
     import jax
 
-    name_map = build_name_map()
+    name_map = build_name_map(refine_net)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(

@@ -152,3 +152,76 @@ def test_prediction_resample(oracle_bundle, our_model):
                         clamp_to=(-1000.0, 0.0))
     np.testing.assert_allclose(np.asarray(pred), oracle_bundle["pred_next"],
                                rtol=2e-4, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# DGF refinement head (refineNet_name='DGF', KVNET.py:80-81,131-132)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dgf_bundle():
+    from tools.ref_oracle import ReferenceOracle
+
+    # DGF has no R-Net feature-width constraint (the guided filter consumes
+    # only the RGB frame + the regressed depth), so a smaller extractor keeps
+    # the torch oracle fast.
+    oracle = ReferenceOracle(feature_dim=32, ndepth=8, t_win_r=T_WIN_R,
+                             img_hw=IMG_HW, seed=1, refine_name="DGF")
+    rng = np.random.RandomState(3)
+    H, W = IMG_HW
+    V = 2 * T_WIN_R
+    ref = rng.randn(H, W, 3).astype(np.float32)
+    srcs = rng.randn(V, H, W, 3).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    for v in range(V):
+        poses[v, :3, 3] = rng.randn(3).astype(np.float32) * 0.06
+    logits = rng.randn(8, H // 4, W // 4).astype(np.float32)
+    bv_predict = logits - np.log(np.sum(np.exp(logits), axis=0,
+                                        keepdims=True))
+    return {
+        "oracle": oracle,
+        "inputs": (ref, srcs, poses, bv_predict),
+        "out_first": oracle.forward(ref, srcs, poses),
+        "out_fused": oracle.forward(ref, srcs, poses, bv_predict),
+    }
+
+
+def test_dgf_head_full_model_parity(dgf_bundle):
+    import jax
+
+    cfg = ModelConfig(feature_dim=32, kv_feature_dim=32, ndepth=8,
+                      t_win_r=T_WIN_R, refine_net="DGF")
+    model = KVNet(cfg=cfg, single_refine=False)
+    ref, srcs, poses, bv_predict = dgf_bundle["inputs"]
+    cam = camera_from_K(dgf_bundle["oracle"].K_dpv)
+    d_candi = jnp.asarray(dgf_bundle["oracle"].d_candi)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ref), jnp.asarray(srcs),
+        jnp.asarray(poses), cam, d_candi, jnp.asarray(bv_predict),
+        jnp.asarray(True),
+    )
+    params, report = import_torch_state_dict(
+        dgf_bundle["oracle"].state_dict(), params, refine_net="DGF")
+    assert report["n_imported"] == report["n_params_total"], report
+    assert not report["missing_flax_keys"], report
+    assert not report["shape_mismatches"], report
+
+    apply = jax.jit(model.apply)
+    for valid, key in ((False, "out_first"), (True, "out_fused")):
+        out = apply(params, jnp.asarray(ref), jnp.asarray(srcs),
+                    jnp.asarray(poses), cam, d_candi,
+                    jnp.asarray(bv_predict), jnp.asarray(valid))
+        want = dgf_bundle[key]
+        np.testing.assert_allclose(
+            np.asarray(out.dpv), want["dpv"], rtol=2e-4, atol=2e-3,
+            err_msg="DGF model: fused dpv diverged")
+        # reference returns the refined depth map as (1, H, W)
+        np.testing.assert_allclose(
+            np.asarray(out.dpv_refined), want["dpv_refined"][0],
+            rtol=2e-4, atol=5e-3,
+            err_msg="DGF model: refined depth map diverged")
+        np.testing.assert_allclose(
+            np.asarray(out.dpv_cur_refined), want["dpv_cur_refined"][0],
+            rtol=2e-4, atol=5e-3,
+            err_msg="DGF model: dmap_cur_refined diverged")
