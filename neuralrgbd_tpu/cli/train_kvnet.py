@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_model_interv", type=int, default=5000)
     p.add_argument("--TB_add_img_interv", type=int, default=50)
     p.add_argument("--pre_trained_model_path", type=str, default=None)
+    p.add_argument("--psmnet_path", type=str, default=None,
+                   help="warm-start the feature extractor from a PSMNet "
+                        "torch checkpoint (utils/models.py:12-37)")
     p.add_argument("--resume", action="store_true",
                    help="resume params+optimizer+step from the latest "
                         "checkpoint in save_dir/exp_name (the reference "
@@ -120,6 +123,18 @@ def main(argv=None):
         state = state.replace(params=params)
         print(f"warm start: {n_hit} tensors from "
               f"{args.pre_trained_model_path}")
+
+    if args.psmnet_path:
+        from neuralrgbd_tpu.utils.torch_import import (
+            import_psmnet_state_dict,
+            load_torch_checkpoint,
+        )
+
+        params, report = import_psmnet_state_dict(
+            load_torch_checkpoint(args.psmnet_path), state.params)
+        state = state.replace(params=params)
+        print(f"PSMNet warm start: {report['n_imported']} feature-extractor "
+              f"tensors from {args.psmnet_path}")
 
     train_step = None
     if args.multi_device and len(jax.devices()) > 1:

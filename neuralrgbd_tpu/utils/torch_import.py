@@ -179,6 +179,27 @@ def import_torch_state_dict(state_dict, params, strict_shapes: bool = True,
     return new_params, report
 
 
+def import_psmnet_state_dict(state_dict, params):
+    """Warm-start the feature extractor from a PSMNet checkpoint.
+
+    Equivalent of ``load_pretrained_PSMNet``
+    (``/root/reference/code/utils/models.py:12-37``): a *partial* load that
+    copies every checkpoint tensor whose name matches the feature-extraction
+    tree and leaves everything else at its current value. PSMNet checkpoints
+    name the tree ``feature_extraction.*`` (optionally ``module.``-prefixed);
+    our full-model map prefixes it ``feature_extractor.`` — rewrite and
+    reuse the same layout transforms.
+    """
+    remapped = {}
+    for k, v in state_dict.items():
+        key = _strip_prefix(str(k))
+        if key.startswith("feature_extraction."):
+            remapped["feature_extractor." + key] = v
+    # import_torch_state_dict is inherently partial: unmatched checkpoint
+    # keys are reported, untouched leaves keep their current values
+    return import_torch_state_dict(remapped, params)
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference .tar checkpoint -> numpy state_dict (CPU torch)."""
     import torch

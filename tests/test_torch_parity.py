@@ -159,3 +159,73 @@ def test_state_dict_import_covers_tree():
     w_f = new_flat["r_net/trans_conv0/kernel"]
     np.testing.assert_allclose(
         w_f, w_t[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def test_psmnet_warm_start_partial_import():
+    """import_psmnet_state_dict == load_pretrained_PSMNet semantics
+    (utils/models.py:12-37): feature-extractor tensors imported, everything
+    else untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.config import ModelConfig
+    from neuralrgbd_tpu.models.kvnet import KVNet
+    from neuralrgbd_tpu.ops.camera import camera_from_K
+    from neuralrgbd_tpu.utils.torch_import import (build_name_map,
+                                                   import_psmnet_state_dict)
+
+    cfg = ModelConfig(feature_dim=64, kv_feature_dim=64, ndepth=8, t_win_r=1)
+    model = KVNet(cfg=cfg)
+    K = np.array([[40.0, 0, 24], [0, 36, 16], [0, 0, 1]], np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((64, 96, 3)), jnp.zeros((2, 64, 96, 3)),
+        jnp.tile(jnp.eye(4), (2, 1, 1)), camera_from_K(K),
+        jnp.linspace(0.5, 4.0, 8), jnp.zeros((8, 16, 24)),
+        jnp.asarray(True),
+    )
+
+    # synthesize a PSMNet-style checkpoint: torch-layout arrays for every
+    # feature-extraction tensor (keys WITHOUT the kvnet prefix, module.-
+    # prefixed like released PSMNet checkpoints), plus a decoy key
+    rng = np.random.RandomState(0)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    shapes = {"/".join(p.key for p in path if hasattr(p, "key"))
+              .replace("params/", ""): leaf.shape for path, leaf in flat}
+    sd = {"module.decoy.weight": rng.randn(3, 3).astype(np.float32)}
+    n_fe = 0
+    for tkey, (fkey, kind) in build_name_map().items():
+        if not tkey.startswith("feature_extractor.feature_extraction."):
+            continue
+        if fkey not in shapes:
+            continue  # downsample convs exist only on strided blocks
+        shape = shapes[fkey]
+        if kind == "conv2d":
+            tshape = (shape[3], shape[2], shape[0], shape[1])
+        else:
+            tshape = shape
+        sd["module." + tkey[len("feature_extractor."):]] = (
+            rng.randn(*tshape).astype(np.float32))
+        n_fe += 1
+
+    new_params, report = import_psmnet_state_dict(sd, params)
+    assert report["n_imported"] == n_fe > 50
+    # non-feature-extraction keys are filtered before mapping, exactly like
+    # load_pretrained_PSMNet's key-intersection
+    assert report["unmatched_torch_keys"] == []
+
+    # feature extractor changed, everything else bit-identical
+    changed = unchanged = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(new_params)[0]:
+        key = "/".join(p.key for p in path if hasattr(p, "key"))
+        old = dict(
+            (("/".join(p.key for p in pp if hasattr(p, "key"))), ll)
+            for pp, ll in flat)[key]
+        same = np.array_equal(np.asarray(leaf), np.asarray(old))
+        if "feature_extractor" in key:
+            changed += 0 if same else 1
+        else:
+            assert same, f"non-FE leaf modified: {key}"
+            unchanged += 1
+    assert changed == n_fe
+    assert unchanged > 10
