@@ -11,6 +11,7 @@ output feeds the jitted steps directly.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from collections import OrderedDict
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -72,6 +73,9 @@ class Trajectory:
         self.name = name
         self._cache: OrderedDict[int, FrameRecord] = OrderedDict()
         self._cache_size = cache_size
+        # frame() is called concurrently by the inference loop's decode
+        # prefetcher (infer/loop.py) and the main dispatch thread
+        self._cache_lock = threading.RLock()
 
         W, H = img_size_wh
         self.dpv_size_wh = (int(W * dpv_scale), int(H * dpv_scale))
@@ -84,12 +88,14 @@ class Trajectory:
         return len(self.img_paths)
 
     def frame(self, idx: int) -> FrameRecord:
-        if idx in self._cache:
-            return self._cache[idx]
-        rec = self._load(idx)
-        self._cache[idx] = rec
-        while len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            if idx in self._cache:
+                return self._cache[idx]
+        rec = self._load(idx)           # decode outside the lock
+        with self._cache_lock:
+            self._cache[idx] = rec
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
         return rec
 
     def refresh_poses(self) -> None:

@@ -34,14 +34,22 @@ def read_pgm(path: str) -> np.ndarray:
 def export_frame(res_dir: str, batch_idx: int, img_raw_u8: np.ndarray,
                  depth_m: np.ndarray, conf: np.ndarray,
                  depth_scale: float = 1000.0, conf_scale: float = 1000.0):
+    """depth/conf may arrive pre-quantized (uint16, already *1000 — the
+    inference loop quantizes on device to shrink the host transfer); float
+    inputs get the contract's (x * scale).astype(uint16) here."""
     os.makedirs(res_dir, exist_ok=True)
     PIL.Image.fromarray(img_raw_u8).save(
         os.path.join(res_dir, f"img_{batch_idx:05d}.png")
     )
+
+    def quantize(a, scale):
+        a = np.asarray(a)
+        return a if a.dtype == np.uint16 else (a * scale).astype(np.uint16)
+
     export_pgm(os.path.join(res_dir, f"d_{batch_idx:05d}.pgm"),
-               (depth_m * depth_scale).astype(np.uint16))
+               quantize(depth_m, depth_scale))
     export_pgm(os.path.join(res_dir, f"conf_{batch_idx:05d}.pgm"),
-               (conf * conf_scale).astype(np.uint16))
+               quantize(conf, conf_scale))
 
 
 def save_scene_path_info(path: str, rows: Sequence[Sequence]) -> None:

@@ -1,5 +1,14 @@
 """Pallas 3x3x3 conv kernel for the K-Net residual stack.
 
+STATUS: tested, differentiable, NOT WIRED IN — a documented negative result
+(PERF.md "Pallas K-Net conv: investigated, NEGATIVE"). XLA's native conv3d
+(2.28 ms/layer, 38 TF/s) beats every Pallas formulation on this Mosaic
+version: the sublane-misaligned patch copies run at ~0.11 Tel/s and
+misaligned-lhs dots pay ~1.3 ms/layer in relayouts, erasing the 91 TF/s
+available from aligned K=576 matmuls. Kept because (a) it is the starting
+point if a future Mosaic makes shifted copies cheap, and (b) its parity
+tests pin down the im2col layout math.
+
 XLA's native conv3d lowering caps at ~40 TFLOP/s on v5e for the K-Net shape
 (C=64 3-D convs on 64x64x96), less than half the measured rate of the same
 contraction expressed as im2col matmuls (62-86 TFLOP/s,
