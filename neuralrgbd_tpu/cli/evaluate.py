@@ -58,17 +58,10 @@ def main(argv=None):
 
         def get(idx):
             if args.dataset == "synthetic":
-                import tempfile
+                from neuralrgbd_tpu.data.synthetic import synthetic_dataset
 
-                from neuralrgbd_tpu.data.scannet import make_trajectory
-                from neuralrgbd_tpu.data.synthetic import write_scannet_scene
-
-                root = os.path.join(tempfile.gettempdir(),
-                                    "neuralrgbd_demo_scene")
-                if not os.path.isdir(os.path.join(root, "scene0000_00")):
-                    write_scannet_scene(root, n_frames=12)
-                return make_trajectory(0, 5, root, img_size_wh=img_wh,
-                                       d_candi=cfg.d_candi)
+                make_traj, n = synthetic_dataset(cfg, img_size_wh=img_wh)
+                return make_traj(idx % n)
             if args.dataset == "scannet":
                 from neuralrgbd_tpu.data.scannet import make_trajectory
 

@@ -156,17 +156,9 @@ def main(argv=None):
 
 def _dataset_factory(args, cfg, img_wh):
     if args.dataset == "synthetic":
-        import tempfile
+        from neuralrgbd_tpu.data.synthetic import synthetic_dataset
 
-        from neuralrgbd_tpu.data.scannet import make_trajectory
-        from neuralrgbd_tpu.data.synthetic import write_scannet_scene
-
-        root = os.path.join(tempfile.gettempdir(), "neuralrgbd_train_scene")
-        if not os.path.isdir(os.path.join(root, "scene0000_00")):
-            write_scannet_scene(root, n_frames=16)
-
-        return (lambda i: make_trajectory(0, 5, root, img_size_wh=img_wh,
-                                          d_candi=cfg.d_candi)), 4
+        return synthetic_dataset(cfg, img_size_wh=img_wh)
     if args.dataset == "scannet":
         from neuralrgbd_tpu.data.scannet import make_trajectory, n_trajectories
 

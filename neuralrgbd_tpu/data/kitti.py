@@ -131,10 +131,11 @@ class KittiTrajectory(Trajectory):
         rec.img_raw = rec.img_raw[:, side:W - side, :]
         if rec.dmap is not None:
             rec.dmap = rec.dmap[:, side_dw:rec.dmap.shape[1] - side_dw]
-            rec.dmap_digit = rec.dmap_digit[
-                :, side_dw:rec.dmap_digit.shape[1] - side_dw]
             rec.dmap_imgsize = rec.dmap_imgsize[
                 :, side:rec.dmap_imgsize.shape[1] - side]
+        if rec.dmap_digit is not None:   # digitized maps need d_candi
+            rec.dmap_digit = rec.dmap_digit[
+                :, side_dw:rec.dmap_digit.shape[1] - side_dw]
             rec.dmap_imgsize_digit = rec.dmap_imgsize_digit[
                 :, side:rec.dmap_imgsize_digit.shape[1] - side]
         return rec
@@ -178,17 +179,26 @@ def make_trajectory(traj_indx: int, database_path_base: str,
     sel = list(range(5, nimg - 5))
     img_paths = [img_paths_all[i] for i in sel]
 
+    # pair OXTS to images by the FRAME ID in the filename, not by list
+    # position: a dropped camera frame or a short OXTS log must not shift
+    # every later pose by one (position-pairing is what pykitti does; it
+    # silently mis-poses such drives). Missing packets -> invalid pose,
+    # caught by the window validity gate.
     oxts_paths = sorted(glob.glob(
         os.path.join(drive_dir, "oxts", "data", "*.txt")))
     oxts_rows = [np.loadtxt(p).ravel() for p in oxts_paths]
     T_w_imu = oxts_to_pose(oxts_rows)
     K_cam2, T_cam2_imu, full_wh = load_calib(date_dir)
-    ext_all = [
-        (T_cam2_imu @ np.linalg.inv(T)).astype(np.float64) for T in T_w_imu
-    ]
+    ext_by_id = {
+        int(os.path.splitext(os.path.basename(p))[0]):
+            (T_cam2_imu @ np.linalg.inv(T)).astype(np.float64)
+        for p, T in zip(oxts_paths, T_w_imu)
+    }
+    nan_pose = np.full((4, 4), np.nan)
 
     def pose_loader(i):
-        return ext_all[sel[i]]
+        frame_id = int(os.path.splitext(os.path.basename(img_paths[i]))[0])
+        return ext_by_id.get(frame_id, nan_pose)
 
     depth_loader = None
     if depth_gt_root is not None:

@@ -82,8 +82,13 @@ def read_info_txt(path: str) -> Tuple[np.ndarray, Tuple[int, int]]:
 def read_pose_txt(path: str) -> np.ndarray:
     """4x4 cam-to-world from the decoder, inverted to world->cam
     (scanNet.py:186-202). May contain inf/nan (invalid tracked pose) —
-    propagated as non-finite so the validity gate can reset the recurrence."""
-    M = np.loadtxt(path).reshape(4, 4)
+    propagated as non-finite so the validity gate can reset the recurrence.
+    A missing or malformed pose file is treated the same way (invalid
+    pose -> lane skipped + recurrence reset) instead of crashing mid-run."""
+    try:
+        M = np.loadtxt(path).reshape(4, 4)
+    except (OSError, ValueError):
+        return np.full((4, 4), np.nan)
     if not np.isfinite(M).all():
         return np.full((4, 4), np.nan)
     try:

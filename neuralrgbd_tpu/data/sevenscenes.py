@@ -24,10 +24,15 @@ ORIG_WH = (640, 480)
 
 
 def get_seq_dirs(database_path_base: str) -> List[str]:
-    """All seq-* trajectory folders, recursively (dl_7scenes.py:119-126)."""
+    """All seq-* trajectory folders, recursively (dl_7scenes.py:119-126).
+
+    Unlike the reference's bare char-class glob, non-directories are
+    filtered out, so stray ``seq-01.zip`` archives or notes files sitting
+    next to the extracted sequences can't become phantom trajectories."""
     return sorted(
-        glob.glob(f"{database_path_base}/**/seq*[!.zip][!.txt][!.png]",
-                  recursive=True)
+        d for d in glob.glob(f"{database_path_base}/**/seq*",
+                             recursive=True)
+        if os.path.isdir(d)
     )
 
 

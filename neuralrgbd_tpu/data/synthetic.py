@@ -12,6 +12,7 @@ export contract — can run end-to-end without the real dataset. This is the
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -111,6 +112,153 @@ def write_scannet_scene(root: str, n_frames: int = 10,
         c2w[0, 3] = 0.02 * i
         if invalid_pose_at is not None and i == invalid_pose_at:
             c2w = np.full((4, 4), -np.inf)  # decoder writes -inf on track loss
+        np.savetxt(stem + ".pose.txt", c2w, fmt="%.7f")
+
+    return scene
+
+
+def synthetic_dataset(cfg: ModelConfig, img_size_wh=(384, 256),
+                      n_scenes: int = 4, n_frames: int = 16,
+                      root: Optional[str] = None):
+    """Self-contained multi-scene synthetic dataset (one-time on-disk write).
+
+    Returns ``(make_traj, n_scenes)`` — the dataset-factory contract shared
+    by the train/test/evaluate CLIs' ``--dataset synthetic`` branches. Scenes
+    are multi-view-consistent plane renders (``write_plane_scene``), distinct
+    per index, in the ScanNet decoded layout.
+    """
+    import tempfile
+
+    from neuralrgbd_tpu.data.scannet import make_trajectory
+
+    root = root or os.path.join(
+        tempfile.gettempdir(),
+        f"neuralrgbd_plane_scenes_{n_scenes}x{n_frames}")
+    for i in range(n_scenes):
+        if not os.path.isdir(os.path.join(root, f"scene{i:04d}_00")):
+            write_plane_scene(root, i, n_frames=n_frames)
+
+    def make_traj(i):
+        return make_trajectory(i, 5, root, img_size_wh=img_size_wh,
+                               d_candi=cfg.d_candi)
+
+    return make_traj, n_scenes
+
+
+def _world_texture(rng, a, b):
+    """Smooth 3-channel texture as a function of plane coordinates (meters).
+
+    Multi-octave sinusoids with per-seed random frequencies/phases: enough
+    structure at every scale for photoconsistency matching, no dependence on
+    the viewing camera (so the texture is rigidly attached to the surface)."""
+    chans = []
+    freqs = rng.uniform(2.0, 40.0, size=(3, 6))
+    phases = rng.uniform(0, 2 * np.pi, size=(3, 6, 2))
+    angs = rng.uniform(0, np.pi, size=(3, 6))
+    for c in range(3):
+        v = np.zeros_like(a)
+        for o in range(6):
+            ca, sa = np.cos(angs[c, o]), np.sin(angs[c, o])
+            v = v + np.sin(freqs[c, o] * (ca * a + sa * b) + phases[c, o, 0]) \
+                  * np.cos(freqs[c, o] * 0.37 * (sa * a - ca * b)
+                           + phases[c, o, 1])
+        chans.append(v / 6.0)
+    rgb = 127.0 + 110.0 * np.stack(chans, axis=-1)
+    return rgb.clip(0, 255).astype(np.uint8)
+
+
+def write_plane_scene(root: str, scene_idx: int = 0, n_frames: int = 16,
+                      orig_wh=(640, 480), seed: Optional[int] = None) -> str:
+    """Write a MULTI-VIEW-CONSISTENT synthetic scene (ScanNet layout).
+
+    The world is a slanted textured plane; every frame is rendered by exact
+    ray-plane intersection from its own camera pose, and the stored GT depth
+    is the true per-pixel z. Unlike ``write_scannet_scene`` (whose texture
+    and depth are pinned to image space — fine for plumbing tests, useless
+    for learning), warping frame j into frame i with the stored pose + depth
+    reproduces frame i exactly, so plane-sweep photoconsistency carries real
+    signal and a training run on these scenes can actually converge.
+
+    ``seed`` (default ``scene_idx``) varies the plane placement, texture,
+    and camera path, so ``scene_idx`` = distinct scenes under one root.
+    """
+    import PIL.Image
+
+    seed = scene_idx if seed is None else seed
+    rng = np.random.RandomState(seed)
+    W, H = orig_wh
+    scene = os.path.join(root, f"scene{scene_idx:04d}_00")
+    os.makedirs(scene, exist_ok=True)
+
+    fx = fy = 585.0
+    cx, cy = W / 2.0 + 3.7, H / 2.0 - 2.1
+    K4 = np.eye(4)
+    K4[0, 0], K4[1, 1], K4[0, 2], K4[1, 2] = fx, fy, cx, cy
+    with open(os.path.join(scene, "_info.txt"), "w") as f:
+        f.write("m_versionNumber = 4\n")
+        f.write("m_sensorName = synthetic-plane\n")
+        f.write(f"m_colorWidth = {W}\n")
+        f.write(f"m_colorHeight = {H}\n")
+        f.write(f"m_depthWidth = {W}\n")
+        f.write(f"m_depthHeight = {H}\n")
+        f.write("m_depthShift = 1000\n")
+        f.write("m_calibrationColorIntrinsic = "
+                + " ".join(f"{v:.6f}" for v in K4.reshape(-1)) + "\n")
+
+    # world plane: passes through (0, 0, z0) with a per-scene slant; the
+    # slant spans roughly 1..4 m of depth across the view (inside the
+    # default d_candi range 0.1..5 m)
+    z0 = rng.uniform(1.4, 3.0)
+    nx, ny = rng.uniform(-0.5, 0.5, size=2)
+    n_w = np.array([nx, ny, -1.0])
+    n_w /= np.linalg.norm(n_w)
+    p0 = np.array([0.0, 0.0, z0])
+    # in-plane texture basis
+    e1 = np.cross(n_w, [0.0, 1.0, 0.0])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(n_w, e1)
+
+    # camera path: lateral translation with jitter + small rotations
+    direc = rng.choice([-1.0, 1.0])
+    step_t = rng.uniform(0.018, 0.03)
+    yaw_rate = rng.uniform(-0.004, 0.004)
+    pitch_rate = rng.uniform(-0.003, 0.003)
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    d_cam = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)],
+                     axis=-1)                                  # (H, W, 3)
+
+    for i in range(n_frames):
+        yaw, pitch = yaw_rate * i, pitch_rate * i
+        Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                       [0, 1, 0],
+                       [-np.sin(yaw), 0, np.cos(yaw)]])
+        Rx = np.array([[1, 0, 0],
+                       [0, np.cos(pitch), -np.sin(pitch)],
+                       [0, np.sin(pitch), np.cos(pitch)]])
+        R = Ry @ Rx
+        t = np.array([direc * step_t * i,
+                      0.006 * np.sin(i * 0.9 + seed),
+                      0.004 * np.cos(i * 1.3)])
+        c2w = np.eye(4)
+        c2w[:3, :3], c2w[:3, 3] = R, t
+
+        d_w = d_cam @ R.T                                       # (H, W, 3)
+        # ray o + s*d hits the plane at s = (p0 - o).n / (d.n); with the
+        # camera-frame ray normalized to z=1, s IS the camera-frame depth
+        denom = d_w @ n_w
+        s = ((p0 - t) @ n_w) / denom
+        X = t + s[..., None] * d_w                              # world points
+        rel = X - p0
+        rgb = _world_texture(np.random.RandomState(seed + 7),
+                             rel @ e1, rel @ e2)
+
+        stem = os.path.join(scene, f"frame-{i * 5:06d}")
+        PIL.Image.fromarray(rgb).save(stem + ".color.jpg", quality=95)
+        dmm = (s.clip(0, 65.535) * 1000).astype(np.uint16)
+        with open(stem + ".depth.pgm", "wb") as f:
+            f.write(f"P5\n{W} {H}\n65535\n".encode())
+            f.write(dmm.astype(">u2").tobytes())
         np.savetxt(stem + ".pose.txt", c2w, fmt="%.7f")
 
     return scene

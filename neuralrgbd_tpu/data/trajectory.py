@@ -116,8 +116,14 @@ class Trajectory:
         if self.depth_loader is not None:
             full = self.depth_loader(idx)
         elif self.dmap_paths is not None:
-            full = pp.load_depth(self.dmap_paths[idx], self.depth_scale,
-                                 self.depth_invalid_above_mm)
+            try:
+                full = pp.load_depth(self.dmap_paths[idx], self.depth_scale,
+                                     self.depth_invalid_above_mm)
+            except OSError:
+                # missing/corrupt GT depth: all-invalid map (digitizes to
+                # the ignore bin -> zero loss weight), same policy as the
+                # KITTI benchmark-GT gap handling (kitti.py)
+                full = np.zeros(self.img_size_wh[::-1], np.float32)
         if full is not None:
             invalid = full < 0.01  # scanNet.py:371-373
             full = pp.apply_invalid_mask(full, invalid)
