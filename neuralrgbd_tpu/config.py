@@ -34,6 +34,16 @@ class ModelConfig:
     # and upsamples it with the deep guided filter (RefineNet_DGF). With
     # 'DGF' the refined outputs are depth maps, not DPVs.
     refine_net: str = "DPV"
+    # D_NET_BASIC optional branches, both OFF on the reference main path:
+    # refine_costv adds 3 extra 2-D convs on the cost volume pre-softmax
+    # (basic.py:189-196,304-308; note the reference's own constructor
+    # crashes if enabled — `self.apply(self.weight_init)` names a method
+    # that doesn't exist, basic.py:196 vs 198 — so it is dead there).
+    refine_costv: bool = False
+    # dnet_bayes fuses the prediction INSIDE D-Net (BV + BV_predict, then
+    # log-normalize; basic.py:309-321) instead of the learned K-Net gain —
+    # the reference's baseline-model filtering framework.
+    dnet_bayes: bool = False
     # BatchNorm: the reference uses track_running_stats=False, i.e. batch
     # statistics at train AND eval (psm_submodule.py:10-16). Keep True for
     # weight-import parity; False switches to standard running-stats BN.

@@ -83,6 +83,39 @@ class _DeviceFrameCache:
         return batch, ref, valid
 
 
+_CHUNK_RUNNERS: dict = {}
+
+
+def _chunk_runner(cfg: ModelConfig, chunk_t: int):
+    """Jitted T-frame scan: per-dispatch overhead (a fixed ~50 ms RPC on
+    this environment's tunneled TPU) is paid once per ``chunk_t`` frames
+    instead of per frame. Emits uint16-quantized maps (the pgm contract)
+    plus the per-step carries so a padded tail chunk can hand the carry of
+    its LAST REAL step to the next dispatch."""
+    key = (repr(cfg), chunk_t)
+    if key not in _CHUNK_RUNNERS:
+        raw_step = make_infer_step(cfg, jit=False)
+
+        def chunk(params, frames_t, bvp, valid, n_real):
+            def body(carry, frame):
+                bvp, v = carry
+                out = raw_step(params, frame, bvp, v)
+                return (out.bv_predict, jnp.ones_like(v)), (
+                    (out.depth[0] * 1000.0).astype(jnp.uint16),
+                    (out.confidence[0] * 1000.0).astype(jnp.uint16),
+                    out.bv_predict,
+                )
+
+            (_, _), (d16, c16, bvs) = jax.lax.scan(
+                body, (bvp, valid), frames_t)
+            bv_next = jax.lax.dynamic_index_in_dim(
+                bvs, n_real - 1, keepdims=False)
+            return d16, c16, bv_next
+
+        _CHUNK_RUNNERS[key] = jax.jit(chunk, donate_argnums=(2,))
+    return _CHUNK_RUNNERS[key]
+
+
 def run_trajectory(
     params,
     cfg: ModelConfig,
@@ -92,11 +125,20 @@ def run_trajectory(
     step: int = 1,
     infer_step=None,
     verbose: bool = True,
+    chunk_t: int = 8,
 ):
     """Returns the number of exported frames. Writes the full output
-    contract (img/d/conf files + scene_path_info.txt) into ``res_dir``."""
+    contract (img/d/conf files + scene_path_info.txt) into ``res_dir``.
+
+    ``chunk_t``: frames scanned per device dispatch (partial chunks are
+    padded to keep one compiled shape; the carry is taken from the last
+    real step). ``chunk_t=1`` restores per-frame stepping via
+    ``infer_step``."""
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
-    infer_step = infer_step or make_infer_step(cfg)
+    if chunk_t > 1:
+        chunk_run = _chunk_runner(cfg, chunk_t)
+    else:
+        infer_step = infer_step or make_infer_step(cfg)
     os.makedirs(res_dir, exist_ok=True)
 
     D = cfg.ndepth
@@ -158,29 +200,58 @@ def run_trajectory(
     prefetcher = threading.Thread(target=prefetch, daemon=True)
     prefetcher.start()
 
+    chunk_bufs = []   # (frame_cnt, ref_rec, window dict) of valid windows
+
+    def dispatch_chunk():
+        nonlocal bv_predict, bv_valid
+        if not chunk_bufs:
+            return
+        n_real = len(chunk_bufs)
+        wins = [b for (_, _, b) in chunk_bufs]
+        wins += [wins[-1]] * (chunk_t - n_real)     # pad: one compiled shape
+        frames_t = {k: jnp.stack([w[k] for w in wins]) for k in wins[0]}
+        d16, c16, bv_predict = chunk_run(
+            params, frames_t, bv_predict, bv_valid, np.int32(n_real))
+        bv_valid = jnp.ones((1,), bool)
+        for j, (fc, rec, _) in enumerate(chunk_bufs):
+            pend_entries.append((fc, rec))
+            pend_d.append(d16[j])
+            pend_c.append(c16[j])
+        chunk_bufs.clear()
+        if len(pend_entries) >= fetch_every:
+            submit_pending()
+
     for frame_cnt, ref_indx in enumerate(range(lo, hi)):
         main_pos = ref_indx
         batch, ref_rec, valid = frames.window(traj, ref_indx, t_win_r, step)
         if not valid:
-            # invalid pose: skip the frame and reset the recurrence
+            # invalid pose: flush, skip the frame, reset the recurrence
             # (test_KVNet.py:241-246)
+            dispatch_chunk()
             bv_valid = jnp.zeros((1,), bool)
             bv_predict = jnp.full_like(bv_predict, -np.log(D))
             if verbose:
                 print(f"frame {ref_indx}: invalid pose, recurrence reset")
             continue
-        out = infer_step(params, batch, bv_predict, bv_valid)
-        bv_predict = out.bv_predict
-        bv_valid = jnp.ones((1,), bool)
-        # device-side pgm quantization: byte-identical files, 4x fewer
-        # relay bytes (float->uint16 truncation == numpy's astype)
-        pend_entries.append((frame_cnt, ref_rec))
-        pend_d.append((out.depth[0] * 1000.0).astype(jnp.uint16))
-        pend_c.append((out.confidence[0] * 1000.0).astype(jnp.uint16))
-        if len(pend_entries) >= fetch_every:
-            submit_pending()
+        if chunk_t > 1:
+            chunk_bufs.append((frame_cnt, ref_rec, batch))
+            if len(chunk_bufs) == chunk_t:
+                dispatch_chunk()
+        else:
+            out = infer_step(params, batch, bv_predict, bv_valid)
+            bv_predict = out.bv_predict
+            bv_valid = jnp.ones((1,), bool)
+            # device-side pgm quantization: byte-identical files, 4x fewer
+            # relay bytes (float->uint16 truncation == numpy's astype)
+            pend_entries.append((frame_cnt, ref_rec))
+            pend_d.append((out.depth[0] * 1000.0).astype(jnp.uint16))
+            pend_c.append((out.confidence[0] * 1000.0).astype(jnp.uint16))
+            if len(pend_entries) >= fetch_every:
+                submit_pending()
         if verbose:
             print(f"Finished frame {frame_cnt + 1}/{hi - lo}", flush=True)
+
+    dispatch_chunk()
 
     stop_prefetch = True
     prefetcher.join(timeout=5)

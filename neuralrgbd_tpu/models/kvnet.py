@@ -121,6 +121,21 @@ class KVNet(nn.Module):
                 keep_last_channels=keep,
             )
         cost, warped_rgb = swept if keep else (swept, None)  # (D, h, w)
+
+        if cfg.refine_costv:
+            # optional costV refinement convs (basic.py:189-196,304-308):
+            # conv2d_leakyRelu x2 + plain conv2d, D channels, pre-softmax
+            from neuralrgbd_tpu.models.layers import ConvB, leaky_relu
+
+            Dn = cost.shape[0]
+            cv = cost.transpose(1, 2, 0)[None]               # (1, h, w, D)
+            cv = leaky_relu(ConvB(Dn, use_bias=True, dtype=dtype,
+                                  name="costv_conv0")(cv))
+            cv = leaky_relu(ConvB(Dn, use_bias=True, dtype=dtype,
+                                  name="costv_conv0_1")(cv))
+            cv = ConvB(Dn, use_bias=True, dtype=dtype,
+                       name="costv_conv0_2")(cv)
+            cost = cv[0].transpose(2, 0, 1)
         bv_cur = jax.nn.log_softmax(-cost, axis=0)
 
         # ---- R-Net on the measurement ----
@@ -148,26 +163,32 @@ class KVNet(nn.Module):
 
         dpv_cur_refined = None if self.single_refine else refine(bv_cur)
 
-        # ---- K-Net temporal fusion (KVNET.py:146-173) ----
-        dw = W // bv_cur.shape[-1]
-        ref_dw = avg_pool2d(ref_frame, dw)               # (h, w, 3)
-        if warped_rgb is None:
-            srcs_dw = avg_pool2d(src_frames, dw)         # (V, h, w, 3)
-            warped_rgb = warp_to_ref_over_depths(
-                srcs_dw.astype(jnp.float32), Rs, ts, cam, d_candi
-            )  # (V, D, h, w, 3)
-        D, h, w = bv_cur.shape
-        vol = jnp.concatenate(
-            [
-                warped_rgb.transpose(1, 2, 3, 0, 4).reshape(D, h, w, V * 3),
-                jnp.broadcast_to(ref_dw[None], (D, h, w, 3)),
-                (bv_cur - bv_predict)[..., None],
-            ],
-            axis=-1,
-        )  # (D, h, w, 3V+4) == kvnet_in_vol channel order of KVNET.py:166
-        gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
-                    name="kv_net")(vol[None])[0]         # (D, h, w)
-        dpv_fused = jax.nn.log_softmax(gain + bv_predict, axis=0)
+        if cfg.dnet_bayes:
+            # in-net Bayesian filtering (basic.py:309-321): direct log-space
+            # product of measurement and prediction, no learned gain
+            dpv_fused = jax.nn.log_softmax(bv_cur + bv_predict, axis=0)
+        else:
+            # ---- K-Net temporal fusion (KVNET.py:146-173) ----
+            dw = W // bv_cur.shape[-1]
+            ref_dw = avg_pool2d(ref_frame, dw)           # (h, w, 3)
+            if warped_rgb is None:
+                srcs_dw = avg_pool2d(src_frames, dw)     # (V, h, w, 3)
+                warped_rgb = warp_to_ref_over_depths(
+                    srcs_dw.astype(jnp.float32), Rs, ts, cam, d_candi
+                )  # (V, D, h, w, 3)
+            D, h, w = bv_cur.shape
+            vol = jnp.concatenate(
+                [
+                    warped_rgb.transpose(1, 2, 3, 0, 4).reshape(
+                        D, h, w, V * 3),
+                    jnp.broadcast_to(ref_dw[None], (D, h, w, 3)),
+                    (bv_cur - bv_predict)[..., None],
+                ],
+                axis=-1,
+            )  # (D, h, w, 3V+4) == kvnet_in_vol channel order, KVNET.py:166
+            gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
+                        name="kv_net")(vol[None])[0]     # (D, h, w)
+            dpv_fused = jax.nn.log_softmax(gain + bv_predict, axis=0)
         dpv = jnp.where(bv_valid, dpv_fused, bv_cur)
 
         if self.single_refine:

@@ -72,6 +72,13 @@ def build_name_map(refine_net: str = "DPV") -> Dict[str, Tuple[str, str]]:
     m.update(_convbn(f"{fe_t}.lastconv.0", f"{fe_f}/last0"))
     m[f"{fe_t}.lastconv.2.weight"] = (f"{fe_f}/last1/kernel", "conv2d")
 
+    # ---- D-Net optional costV refinement convs (basic.py:189-196) ----
+    # present only when the model was built with refine_costv; entries for
+    # an absent branch land in the report's missing_flax_keys
+    m.update(_conv_bias("d_net.conv0.0", "costv_conv0"))
+    m.update(_conv_bias("d_net.conv0_1.0", "costv_conv0_1"))
+    m.update(_conv_bias("d_net.conv0_2", "costv_conv0_2"))
+
     # ---- K-Net (basic.KV_NET_BASIC) ----
     kv_t, kv_f = "kv_net", "kv_net"
     for d in range(5):

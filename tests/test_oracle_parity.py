@@ -225,3 +225,89 @@ def test_dgf_head_full_model_parity(dgf_bundle):
             np.asarray(out.dpv_cur_refined), want["dpv_cur_refined"][0],
             rtol=2e-4, atol=5e-3,
             err_msg="DGF model: dmap_cur_refined diverged")
+
+
+# ---------------------------------------------------------------------------
+# D-Net optional branches: costV refinement convs (basic.py:189-196,304-308)
+# and the in-net Bayesian filtering framework (basic.py:309-321). Neither is
+# reachable from the reference KVNET (refine_costV is never passed, and its
+# constructor crashes if set — `self.apply(self.weight_init)` names a method
+# that doesn't exist, basic.py:196 vs 198), so the oracle here is a directly
+# constructed D_NET_BASIC with the constructor bug patched.
+# ---------------------------------------------------------------------------
+
+def test_dnet_refine_costv_and_bayes_parity(dgf_bundle):
+    import jax
+
+    from tools.ref_oracle import _import_reference
+
+    _import_reference()
+    import models.basic as ref_basic
+
+    # patch the reference's broken init hook so the branch can construct
+    ref_basic.D_NET_BASIC.weight_init = ref_basic.D_NET_BASIC._weight_init
+    torch.manual_seed(11)
+    oracle = dgf_bundle["oracle"]
+    fe = ref_basic.feature_extractor(feature_dim=32, multi_scale=True)
+    dnet = ref_basic.D_NET_BASIC(
+        fe, oracle.cam_intrinsics, oracle.d_candi, sigma_soft_max=10.0,
+        BV_log=True, normalize=True, use_img_intensity=True,
+        output_features=True, refine_costV=True)
+
+    ref, srcs, poses, bv_predict = dgf_bundle["inputs"]
+    t_ref = torch.from_numpy(
+        np.ascontiguousarray(ref.transpose(2, 0, 1))[None]).float()
+    t_srcs = torch.from_numpy(
+        np.ascontiguousarray(srcs.transpose(0, 3, 1, 2))[None]).float()
+    t_poses = torch.from_numpy(poses[None]).float()
+    t_bvp = torch.from_numpy(bv_predict[None]).float()
+    with torch.no_grad():
+        bv_first, _ = dnet(t_ref, t_srcs, t_poses, BV_predict=None)
+        bv_fused, _ = dnet(t_ref, t_srcs, t_poses, BV_predict=t_bvp)
+
+    # remap the bare D_NET state_dict into the importer's KVNET namespace
+    sd = {}
+    for k, v in dnet.state_dict().items():
+        if k.startswith("feature_extraction."):
+            # d_net.feature_extraction is the feature_extractor wrapper whose
+            # own submodule is also named feature_extraction
+            sd["feature_extractor." + k[len("feature_extraction."):]] = \
+                v.numpy()
+        else:
+            sd["d_net." + k] = v.numpy()
+
+    cfg = ModelConfig(feature_dim=32, kv_feature_dim=32, ndepth=8,
+                      t_win_r=T_WIN_R, refine_net="DGF",
+                      refine_costv=True, dnet_bayes=True)
+    model = KVNet(cfg=cfg, single_refine=False)
+    cam = camera_from_K(oracle.K_dpv)
+    d_candi = jnp.asarray(oracle.d_candi)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ref), jnp.asarray(srcs),
+        jnp.asarray(poses), cam, d_candi, jnp.asarray(bv_predict),
+        jnp.asarray(True))
+    params, report = import_torch_state_dict(sd, params)
+    assert not report["unmatched_torch_keys"], report
+    assert not report["shape_mismatches"], report
+    # with dnet_bayes there must be no K-Net in the tree at all
+    assert "kv_net" not in params["params"], list(params["params"])
+
+    apply = jax.jit(model.apply)
+    out_first = apply(params, jnp.asarray(ref), jnp.asarray(srcs),
+                      jnp.asarray(poses), cam, d_candi,
+                      jnp.asarray(bv_predict), jnp.asarray(False))
+    out_fused = apply(params, jnp.asarray(ref), jnp.asarray(srcs),
+                      jnp.asarray(poses), cam, d_candi,
+                      jnp.asarray(bv_predict), jnp.asarray(True))
+    np.testing.assert_allclose(
+        np.asarray(out_first.bv_cur), bv_first[0].numpy(),
+        rtol=2e-4, atol=2e-3,
+        err_msg="refine_costV: refined measurement diverged")
+    # first-frame fused == measurement (reference returns BV unfused)
+    np.testing.assert_allclose(
+        np.asarray(out_first.dpv), bv_first[0].numpy(),
+        rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_fused.dpv), bv_fused[0].numpy(),
+        rtol=2e-4, atol=2e-3,
+        err_msg="in-net Bayesian fusion diverged")
