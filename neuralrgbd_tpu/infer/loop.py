@@ -45,6 +45,8 @@ class _DeviceFrameCache:
     def __init__(self, capacity: int = 24, device=None):
         self._cache: "dict[int, jax.Array]" = {}
         self._order: "list[int]" = []
+        self._raw: "dict[int, jax.Array]" = {}
+        self._raw_order: "list[int]" = []
         self._capacity = capacity
         self._device = device  # pin a lane's frames to its mesh device
         mean = jnp.asarray(pp.IMAGENET_MEAN)
@@ -54,14 +56,23 @@ class _DeviceFrameCache:
 
     def get(self, traj: Trajectory, idx: int) -> jax.Array:
         if idx not in self._cache:
-            raw = traj.frame(idx).img_raw
-            dev = (jax.device_put(raw, self._device) if self._device
-                   else jnp.asarray(raw))
-            self._cache[idx] = self._norm(dev)
+            self._cache[idx] = self._norm(self.get_raw(traj, idx))
             self._order.append(idx)
             while len(self._order) > self._capacity:
                 del self._cache[self._order.pop(0)]
         return self._cache[idx]
+
+    def get_raw(self, traj: Trajectory, idx: int) -> jax.Array:
+        """Device-resident uint8 frame (the chunk runner normalizes
+        in-jit, so only the 3x smaller raw bytes ride the relay)."""
+        if idx not in self._raw:
+            raw = traj.frame(idx).img_raw
+            self._raw[idx] = (jax.device_put(raw, self._device)
+                              if self._device else jnp.asarray(raw))
+            self._raw_order.append(idx)
+            while len(self._raw_order) > self._capacity:
+                del self._raw[self._raw_order.pop(0)]
+        return self._raw[idx]
 
     def window(self, traj: Trajectory, ref_indx: int, t_win_r: int,
                step: int):
@@ -87,19 +98,39 @@ _CHUNK_RUNNERS: dict = {}
 
 
 def _chunk_runner(cfg: ModelConfig, chunk_t: int):
-    """Jitted T-frame scan: per-dispatch overhead (a fixed ~50 ms RPC on
-    this environment's tunneled TPU) is paid once per ``chunk_t`` frames
-    instead of per frame. Emits uint16-quantized maps (the pgm contract)
-    plus the per-step carries so a padded tail chunk can hand the carry of
-    its LAST REAL step to the next dispatch."""
+    """Jitted T-frame scan with IN-JIT window assembly.
+
+    On this environment's tunneled TPU every op/dispatch call costs ~2-5 ms
+    of host time to enqueue, so per-frame window assembly from Python
+    (~6-10 small device ops) alone caps the loop at ~21 FPS regardless of
+    compute. The whole chunk is therefore ONE call: raw uint8 frames go in
+    as a single stacked buffer, and each step's ref/src windows are gathered
+    and ImageNet-normalized inside the jit. Emits uint16-quantized maps (the
+    pgm contract) plus the carry of the LAST REAL step (padded tail chunks
+    hand their carry forward correctly)."""
     key = (repr(cfg), chunk_t)
     if key not in _CHUNK_RUNNERS:
         raw_step = make_infer_step(cfg, jit=False)
 
-        def chunk(params, frames_t, bvp, valid, n_real):
-            def body(carry, frame):
+        def chunk(params, frames_u8, ref_idx, src_idx, poses, K, pose_next,
+                  bvp, valid, n_real):
+            # frames_u8 (F,H,W,3) u8; ref_idx (T,); src_idx (T,V);
+            # poses (T,V,4,4); K (3,3); pose_next (T,4,4)
+            mean = jnp.asarray(pp.IMAGENET_MEAN)
+            std = jnp.asarray(pp.IMAGENET_STD)
+            imgs = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+            def body(carry, xs):
                 bvp, v = carry
-                out = raw_step(params, frame, bvp, v)
+                ridx, sidx, pose, pnext = xs
+                batch = {
+                    "ref": imgs[ridx][None],
+                    "srcs": imgs[sidx][None],
+                    "poses": pose[None],
+                    "K": K[None],
+                    "pose_next": pnext[None],
+                }
+                out = raw_step(params, batch, bvp, v)
                 return (out.bv_predict, jnp.ones_like(v)), (
                     (out.depth[0] * 1000.0).astype(jnp.uint16),
                     (out.confidence[0] * 1000.0).astype(jnp.uint16),
@@ -107,13 +138,69 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int):
                 )
 
             (_, _), (d16, c16, bvs) = jax.lax.scan(
-                body, (bvp, valid), frames_t)
+                body, (bvp, valid), (ref_idx, src_idx, poses, pose_next))
             bv_next = jax.lax.dynamic_index_in_dim(
                 bvs, n_real - 1, keepdims=False)
             return d16, c16, bv_next
 
-        _CHUNK_RUNNERS[key] = jax.jit(chunk, donate_argnums=(2,))
+        _CHUNK_RUNNERS[key] = jax.jit(chunk, donate_argnums=(7,))
     return _CHUNK_RUNNERS[key]
+
+
+_PAR_CHUNK_RUNNERS: dict = {}
+
+
+def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
+                           axis: str = "data"):
+    """Sharded T-frame scan over the lane mesh with in-jit window assembly
+    (the multi-lane counterpart of ``_chunk_runner``). Per-step lane
+    validity rides in as an (T, N) mask: step t consumes step t-1's mask as
+    its carry validity, exactly the host-side ``carry_valid[i] =
+    lane_ok[i]`` recurrence of the per-frame loop."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (repr(cfg), tuple(d.id for d in mesh.devices.flat), chunk_t, axis)
+    if key not in _PAR_CHUNK_RUNNERS:
+        raw_step = make_infer_step(cfg, jit=False)
+        data = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        tdata = NamedSharding(mesh, P(None, axis))
+
+        def chunk(params, frames_u8, ref_idx, src_idx, poses, K, pose_next,
+                  ok, bvp, valid):
+            mean = jnp.asarray(pp.IMAGENET_MEAN)
+            std = jnp.asarray(pp.IMAGENET_STD)
+            imgs = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+            def body(carry, xs):
+                bvp, v = carry
+                ridx, sidx, pose, pnext, okt = xs
+                batch = {
+                    "ref": imgs[:, ridx],
+                    "srcs": imgs[:, sidx],
+                    "poses": pose,
+                    "K": K,
+                    "pose_next": pnext,
+                }
+                out = raw_step(params, batch, bvp, v)
+                return (out.bv_predict, okt), (
+                    (out.depth * 1000.0).astype(jnp.uint16),
+                    (out.confidence * 1000.0).astype(jnp.uint16),
+                )
+
+            (bv_f, v_f), (d16, c16) = jax.lax.scan(
+                body, (bvp, valid),
+                (ref_idx, src_idx, poses, pose_next, ok))
+            return d16, c16, bv_f, v_f
+
+        _PAR_CHUNK_RUNNERS[key] = jax.jit(
+            chunk,
+            in_shardings=(repl, data, repl, repl, tdata, data, tdata,
+                          tdata, data, data),
+            out_shardings=(tdata, tdata, data, data),
+            donate_argnums=(8,),
+        )
+    return _PAR_CHUNK_RUNNERS[key]
 
 
 def run_trajectory(
@@ -200,30 +287,53 @@ def run_trajectory(
     prefetcher = threading.Thread(target=prefetch, daemon=True)
     prefetcher.start()
 
-    chunk_bufs = []   # (frame_cnt, ref_rec, window dict) of valid windows
+    # chunk accumulation: (frame_cnt, ref_rec, ref_indx, poses, pose_next)
+    # — all numpy; the device work happens in ONE jitted call per chunk
+    chunk_bufs = []
+    win_off = np.array(window_indices(0, t_win_r, step), np.int32)  # (V,)
+    n_frames_c = (chunk_t - 1) + 2 * t_win_r * step + 1
+    K_np = traj.K_dpv.astype(np.float32)
 
     def dispatch_chunk():
         nonlocal bv_predict, bv_valid
         if not chunk_bufs:
             return
         n_real = len(chunk_bufs)
-        wins = [b for (_, _, b) in chunk_bufs]
-        wins += [wins[-1]] * (chunk_t - n_real)     # pad: one compiled shape
-        frames_t = {k: jnp.stack([w[k] for w in wins]) for k in wins[0]}
+        pad = chunk_t - n_real
+        base = chunk_bufs[0][2] - t_win_r * step
+        # one contiguous device frame buffer covering every window (refs
+        # are consecutive), stacked from per-frame cached uploads
+        frames_u8 = jnp.stack([
+            frames.get_raw(traj, min(base + j, len(traj) - 1))
+            for j in range(n_frames_c)
+        ])
+        ref_idx = np.array([c[2] - base for c in chunk_bufs], np.int32)
+        ref_idx = np.concatenate([ref_idx, ref_idx[-1:].repeat(pad)])
+        src_idx = ref_idx[:, None] + win_off[None, :]
+        poses = np.stack([c[3] for c in chunk_bufs])
+        poses = np.concatenate([poses, poses[-1:].repeat(pad, 0)])
+        pose_next = np.stack([c[4] for c in chunk_bufs])
+        pose_next = np.concatenate([pose_next, pose_next[-1:].repeat(pad, 0)])
         d16, c16, bv_predict = chunk_run(
-            params, frames_t, bv_predict, bv_valid, np.int32(n_real))
+            params, frames_u8, ref_idx, src_idx,
+            poses.astype(np.float32), K_np, pose_next.astype(np.float32),
+            bv_predict, bv_valid, np.int32(n_real))
         bv_valid = jnp.ones((1,), bool)
-        for j, (fc, rec, _) in enumerate(chunk_bufs):
-            pend_entries.append((fc, rec))
-            pend_d.append(d16[j])
-            pend_c.append(c16[j])
+        # the whole chunk stack goes to the export worker UNSLICED — the
+        # worker's np.asarray is one fetch, and per-frame slicing here
+        # would cost 2 enqueue round-trips per frame
+        entries = [(fc, rec) for (fc, rec, *_rest) in chunk_bufs]
+        futures.append(executor.submit(flush, entries, d16, c16))
         chunk_bufs.clear()
-        if len(pend_entries) >= fetch_every:
-            submit_pending()
+        while len(futures) > 3:      # bound device-buffer backlog
+            futures.pop(0).result()
 
     for frame_cnt, ref_indx in enumerate(range(lo, hi)):
         main_pos = ref_indx
-        batch, ref_rec, valid = frames.window(traj, ref_indx, t_win_r, step)
+        idxs = window_indices(ref_indx, t_win_r, step)
+        ref_rec = traj.frame(ref_indx)
+        src_recs = [traj.frame(i) for i in idxs]
+        valid = ref_rec.pose_valid and all(s.pose_valid for s in src_recs)
         if not valid:
             # invalid pose: flush, skip the frame, reset the recurrence
             # (test_KVNet.py:241-246)
@@ -233,11 +343,23 @@ def run_trajectory(
             if verbose:
                 print(f"frame {ref_indx}: invalid pose, recurrence reset")
             continue
+        poses = np.stack([rel_pose(ref_rec.ext_M, s.ext_M)
+                          for s in src_recs])
+        nxt = traj.frame(min(ref_indx + step, len(traj) - 1))
+        pose_next = rel_pose(ref_rec.ext_M, nxt.ext_M)
         if chunk_t > 1:
-            chunk_bufs.append((frame_cnt, ref_rec, batch))
+            chunk_bufs.append((frame_cnt, ref_rec, ref_indx, poses,
+                               pose_next))
             if len(chunk_bufs) == chunk_t:
                 dispatch_chunk()
         else:
+            batch = {
+                "ref": frames.get(traj, ref_indx)[None],
+                "srcs": jnp.stack([frames.get(traj, i) for i in idxs])[None],
+                "poses": poses[None].astype(np.float32),
+                "K": K_np[None],
+                "pose_next": pose_next[None].astype(np.float32),
+            }
             out = infer_step(params, batch, bv_predict, bv_valid)
             bv_predict = out.bv_predict
             bv_valid = jnp.ones((1,), bool)
@@ -275,24 +397,22 @@ def run_trajectories_parallel(
     t_win_r: Optional[int] = None,
     step: int = 1,
     verbose: bool = True,
+    chunk_t: int = 8,
 ):
     """Data-parallel inference: one trajectory per mesh device, stepping in
     lockstep (the reference also ran its test model under DataParallel,
     test_KVNet.py:163). Shorter trajectories stop contributing via the
-    validity mask; every lane writes its own export contract.
+    validity mask; every lane writes its own export contract. ``chunk_t``
+    frames are scanned per sharded dispatch with in-jit window assembly
+    (see ``_parallel_chunk_runner``).
 
     Returns the per-trajectory exported-frame counts.
     """
-    from neuralrgbd_tpu.parallel import (
-        make_mesh,
-        make_sharded_infer_step,
-        shard_batch,
-    )
+    from neuralrgbd_tpu.parallel import make_mesh, shard_batch
 
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
     n = len(trajs)
     mesh = mesh or make_mesh(n)
-    infer_step = make_sharded_infer_step(cfg, mesh)
 
     D = cfg.ndepth
     w_dpv, h_dpv = trajs[0].dpv_size_wh
@@ -301,18 +421,19 @@ def run_trajectories_parallel(
 
     bv_predict = shard_batch(
         np.full((n, D, h_dpv, w_dpv), -np.log(D), np.float32), mesh)
-    carry_valid = np.zeros(n, bool)
     counts = [0] * n
     infos = [[t.name or os.path.dirname(t.img_paths[0])] for t in trajs]
 
-    def flush(depth_u16, conf_u16, lane_refs, lane_ok, frame_counts):
-        depths = np.asarray(depth_u16)
-        confs = np.asarray(conf_u16)
-        for i in range(n):
-            if lane_ok[i]:
-                export_frame(res_dirs[i], frame_counts[i],
-                             lane_refs[i].img_raw, depths[i], confs[i])
-                infos[i].append([frame_counts[i], lane_refs[i].img_path])
+    def flush_chunk(entries, d16, c16):
+        depths = np.asarray(d16)      # (T, N, H, W) — ONE fetch per stack
+        confs = np.asarray(c16)
+        for t_off, refs, okrow, row_counts in entries:
+            for i in range(n):
+                if okrow[i]:
+                    export_frame(res_dirs[i], row_counts[i],
+                                 refs[i].img_raw,
+                                 depths[t_off, i], confs[t_off, i])
+                    infos[i].append([row_counts[i], refs[i].img_path])
 
     executor = ThreadPoolExecutor(max_workers=1)
     futures = []
@@ -323,49 +444,78 @@ def run_trajectories_parallel(
 
     lo = t_win_r * step
     hi = max(len(t) for t in trajs) - t_win_r * step - 1
-    for ref_indx in range(lo, hi):
-        lane_parts, lane_refs, lane_ok = [], [], []
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunk_run = _parallel_chunk_runner(cfg, mesh, chunk_t)
+    win_off = np.array(window_indices(0, t_win_r, step), np.int32)
+    n_frames_c = (chunk_t - 1) + 2 * t_win_r * step + 1
+    Ks = np.stack([t.K_dpv for t in trajs]).astype(np.float32)
+    valid_dev = shard_batch(np.zeros(n, bool), mesh)
+    eye = np.tile(np.eye(4, dtype=np.float32), (len(win_off), 1, 1))
+
+    for c0 in range(lo, hi, chunk_t):
+        t_real = min(chunk_t, hi - c0)
+        base = c0 - t_win_r * step
+        # one contiguous u8 frame buffer per lane, already on its device
+        shards = []
         for i, t in enumerate(trajs):
-            in_range = ref_indx < len(t) - t_win_r * step - 1
-            idx = ref_indx if in_range else lo
-            b, ref, ok = caches[i].window(t, idx, t_win_r, step)
-            if not in_range:
-                ref, ok = None, False
-            lane_parts.append(b)
-            lane_refs.append(ref)
-            lane_ok.append(ok)
-        # zero-copy global-array assembly: each lane's (1, ...) window tensor
-        # already lives on its mesh device
-        from jax.sharding import NamedSharding, PartitionSpec as P
+            shards.append(jnp.stack([
+                caches[i].get_raw(t, min(max(base + j, 0), len(t) - 1))
+                for j in range(n_frames_c)
+            ])[None])
+        frames_u8 = jax.make_array_from_single_device_arrays(
+            (n,) + shards[0].shape[1:], NamedSharding(mesh, P("data")),
+            shards)
 
-        def assemble(key):
-            shards = []
-            for i, p in enumerate(lane_parts):
-                s = p[key]
-                if not isinstance(s, jax.Array) or s.device != lane_devices[i]:
-                    s = jax.device_put(np.asarray(s), lane_devices[i])
-                shards.append(s)
-            return jax.make_array_from_single_device_arrays(
-                (n,) + shards[0].shape[1:], NamedSharding(mesh, P("data")),
-                shards)
+        ref_idx = np.minimum(np.arange(chunk_t, dtype=np.int32), t_real - 1) \
+            + (c0 - base)
+        src_idx = ref_idx[:, None] + win_off[None, :]
+        poses = np.zeros((chunk_t, n, len(win_off), 4, 4), np.float32)
+        pose_next = np.zeros((chunk_t, n, 4, 4), np.float32)
+        ok = np.zeros((chunk_t, n), bool)
+        chunk_refs = [[None] * n for _ in range(chunk_t)]
+        for t_off in range(chunk_t):
+            ref_indx = min(c0 + t_off, hi - 1)
+            for i, t in enumerate(trajs):
+                in_range = (t_off < t_real
+                            and ref_indx < len(t) - t_win_r * step - 1)
+                if not in_range:
+                    poses[t_off, i] = eye
+                    pose_next[t_off, i] = np.eye(4, dtype=np.float32)
+                    continue
+                rec = t.frame(ref_indx)
+                srcs = [t.frame(ref_indx + int(o)) for o in win_off]
+                lane_ok = rec.pose_valid and all(s.pose_valid for s in srcs)
+                if lane_ok:
+                    poses[t_off, i] = np.stack(
+                        [rel_pose(rec.ext_M, s.ext_M) for s in srcs])
+                    nxt = t.frame(min(ref_indx + step, len(t) - 1))
+                    pose_next[t_off, i] = rel_pose(rec.ext_M, nxt.ext_M)
+                else:
+                    poses[t_off, i] = eye
+                    pose_next[t_off, i] = np.eye(4, dtype=np.float32)
+                ok[t_off, i] = lane_ok
+                chunk_refs[t_off][i] = rec
 
-        batch = {k: assemble(k) for k in lane_parts[0]}
-        out = infer_step(params, batch, bv_predict,
-                         shard_batch(np.asarray(carry_valid), mesh))
-        bv_predict = out.bv_predict
-        d16 = (out.depth * 1000.0).astype(jnp.uint16)
-        c16 = (out.confidence * 1000.0).astype(jnp.uint16)
-        futures.append(executor.submit(
-            flush, d16, c16, lane_refs, list(lane_ok), list(counts)))
-        while len(futures) > 3:
+        d16, c16, bv_predict, valid_dev = chunk_run(
+            params, frames_u8, ref_idx, src_idx, poses, Ks, pose_next,
+            ok, bv_predict, valid_dev)
+
+        # export: whole chunk stacks, fetched once in the worker
+        entries = []
+        for t_off in range(t_real):
+            row_counts = list(counts)
+            for i in range(n):
+                if ok[t_off, i]:
+                    counts[i] += 1
+            entries.append((t_off, chunk_refs[t_off], ok[t_off].copy(),
+                            row_counts))
+        futures.append(executor.submit(flush_chunk, entries, d16, c16))
+        while len(futures) > 2:
             futures.pop(0).result()
-        for i in range(n):
-            if lane_ok[i]:
-                counts[i] += 1
-            carry_valid[i] = lane_ok[i]
         if verbose:
-            print(f"frame {ref_indx}: lanes ok={sum(lane_ok)}/{n}",
-                  flush=True)
+            print(f"chunk {c0}..{c0 + t_real - 1}: "
+                  f"ok={int(ok[:t_real].sum())}/{t_real * n}", flush=True)
 
     for f in futures:
         f.result()

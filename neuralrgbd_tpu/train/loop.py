@@ -49,6 +49,24 @@ def train_epochs(
     last_loss = float("nan")
     t_start = time.time()
 
+    # per-step losses stay ON DEVICE and are fetched in one transfer every
+    # flush: a float(loss) per step both pays a fixed host round-trip and
+    # serializes the dispatch pipeline (the next step's host work can't
+    # overlap the current step's compute)
+    loss_buf: list = []
+
+    def flush_losses():
+        nonlocal last_loss
+        if not loss_buf:
+            return last_loss
+        vals = np.asarray(jnp.stack([l for _, l in loss_buf]))
+        if writer:
+            for (it, _), v in zip(loss_buf, vals):
+                writer.scalar("data/train_error", float(v), it)
+        last_loss = float(vals[-1])
+        loss_buf.clear()
+        return last_loss
+
     for epoch in range(n_epoch):
         sched = BatchScheduler(make_traj, n_traj, batch_size,
                                t_win_r=cfg.t_win_r, seed=tcfg.seed + epoch)
@@ -75,25 +93,25 @@ def train_epochs(
                                  jnp.asarray(carry_valid), step_key)
                 state = out.state
                 bv_predict = out.bv_predict
-                last_loss = float(out.loss)
+                loss_buf.append((total_iter + 1, out.loss))
                 # a lane's carry is only valid if THIS window was valid
                 carry_valid = lane_valid.copy()
                 total_iter += 1
 
-                if writer:
-                    writer.scalar("data/train_error", last_loss, total_iter)
-                    if total_iter % tcfg.tb_add_img_interv == 0:
-                        dl = np.asarray(out.depth_lowres[0])
-                        gt = refs[0].dmap if refs[0].dmap is not None else dl
-                        writer.image("train/depth_kv|gt",
-                                     np.hstack([dl, gt]), total_iter)
+                if writer and total_iter % tcfg.tb_add_img_interv == 0:
+                    dl = np.asarray(out.depth_lowres[0])
+                    gt = refs[0].dmap if refs[0].dmap is not None else dl
+                    writer.image("train/depth_kv|gt",
+                                 np.hstack([dl, gt]), total_iter)
 
-                if verbose and total_iter % 20 == 0:
-                    fps = total_iter / (time.time() - t_start)
-                    print(f"epoch {epoch} group {group_idx} frame "
-                          f"{frame_idx}/{group.traj_len} iter {total_iter} "
-                          f"loss {last_loss:.4f} ({fps:.2f} it/s)",
-                          flush=True)
+                if total_iter % 20 == 0:
+                    flush_losses()
+                    if verbose:
+                        fps = total_iter / (time.time() - t_start)
+                        print(f"epoch {epoch} group {group_idx} frame "
+                              f"{frame_idx}/{group.traj_len} iter "
+                              f"{total_iter} loss {last_loss:.4f} "
+                              f"({fps:.2f} it/s)", flush=True)
 
                 if save_dir and total_iter % tcfg.save_model_interv == 0:
                     save_checkpoint(save_dir, int(state.step), state,
@@ -102,12 +120,14 @@ def train_epochs(
                                            "frame": frame_idx})
 
                 if max_steps is not None and total_iter >= max_steps:
+                    flush_losses()
                     if save_dir:
                         save_checkpoint(save_dir, int(state.step), state)
                     if writer:
                         writer.close()
                     return state
 
+    flush_losses()
     if save_dir:
         save_checkpoint(save_dir, int(state.step), state)
     if writer:

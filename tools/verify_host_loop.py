@@ -48,20 +48,22 @@ params = _init_or_load_params(cfg, _Args(), traj)
 res_dir = os.path.join(tempfile.gettempdir(), "verify_host_loop_out")
 os.system(f"rm -rf {res_dir} {res_dir}_warm")
 
-infer_step = make_infer_step(cfg)
+CHUNK_T = int(os.environ.get("VERIFY_CHUNK_T", "8"))
+infer_step = make_infer_step(cfg) if CHUNK_T == 1 else None
 t0 = time.time()
 n = run_trajectory(params, cfg, traj, res_dir + "_warm",
-                   infer_step=infer_step, verbose=False)
+                   infer_step=infer_step, verbose=False, chunk_t=CHUNK_T)
 print(f"pass 1 (compile): {n} frames in {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
 n = run_trajectory(params, cfg, traj, res_dir, infer_step=infer_step,
-                   verbose=False)
+                   verbose=False, chunk_t=CHUNK_T)
 dt = time.time() - t0
 fps = n / dt
 print(f"RESULT host_loop_fps={fps:.2f} ({n} frames in {dt:.1f}s)", flush=True)
 
 # contract check: recompute the first 4 frames via direct steps and compare
+infer_step = infer_step or make_infer_step(cfg)
 D = cfg.ndepth
 w_dpv, h_dpv = traj.dpv_size_wh
 bv = jnp.full((1, D, h_dpv, w_dpv), -np.log(D), jnp.float32)
