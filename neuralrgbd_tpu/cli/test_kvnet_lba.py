@@ -126,9 +126,24 @@ def main(argv=None):
                                        bool(args.opt_r), bool(args.opt_t))
     lba_opt = make_lba_optimizer(3, args.LBA_max_iter, args.LBA_step,
                                  bool(args.opt_r), bool(args.opt_t))
-    resample_img = jax.jit(
-        lambda dpv, rel: resample_dpv(dpv, rel, cam_img, d_candi,
-                                      padding_value=math.log(1.0 / D)))
+    @jax.jit
+    def lba_maps(dpv_ref, pose_next):
+        """Depth + confidence regression for the LBA in ONE dispatch
+        (test_KVNet_LBA.py:414-423); results stay on device — they feed
+        straight into the jitted ``local_ba_direct``."""
+        dpv_kf = resample_dpv(dpv_ref, jnp.linalg.inv(pose_next), cam_img,
+                              d_candi, padding_value=math.log(1.0 / D))
+        p_ref, p_kf = jnp.exp(dpv_ref), jnp.exp(dpv_kf)
+        return (jnp.einsum("dhw,d->hw", p_ref, d_candi),
+                jnp.exp(jnp.max(dpv_ref, 0)) ** 2,
+                jnp.einsum("dhw,d->hw", p_kf, d_candi),
+                jnp.exp(jnp.max(dpv_kf, 0)) ** 2)
+
+    @jax.jit
+    def quantize_maps(depth, conf):
+        # pgm contract quantization on device: one packed uint16 fetch
+        return jnp.stack([(depth * 1000.0).astype(jnp.uint16),
+                          (conf * 1000.0).astype(jnp.uint16)])
 
     res_dir = os.path.join(args.res_dir, args.exp_name)
     os.makedirs(res_dir, exist_ok=True)
@@ -178,8 +193,9 @@ def main(argv=None):
         bv_predict = out.bv_predict
         bv_valid = jnp.ones((1,), bool)
 
+        dc16 = np.asarray(quantize_maps(out.depth[0], out.confidence[0]))
         export_frame(res_dir, frame_cnt_out, ref_rec.img_raw,
-                     np.asarray(out.depth[0]), np.asarray(out.confidence[0]))
+                     dc16[0], dc16[1])
         scene_path_info.append([frame_cnt_out, ref_rec.img_path])
         frame_cnt_out += 1
 
@@ -191,13 +207,10 @@ def main(argv=None):
         dpv_ref = out.dpv_refined[0]                   # (D, H, W)
         idx_next = ref_indx + 1
         pose_next = rel_pose(traj_extMs[ref_indx], traj_extMs[idx_next])
-        dpv_kf = resample_img(dpv_ref, jnp.linalg.inv(jnp.asarray(pose_next)))
-        dmap_ref = np.asarray(jnp.einsum(
-            "dhw,d->hw", jnp.exp(dpv_ref), d_candi))
-        conf_ref = np.asarray(jnp.exp(jnp.max(dpv_ref, 0))) ** 2
-        dmap_kf = np.asarray(jnp.einsum(
-            "dhw,d->hw", jnp.exp(dpv_kf), d_candi))
-        conf_kf = np.asarray(jnp.exp(jnp.max(dpv_kf, 0))) ** 2
+        # one dispatch, zero fetches: the maps stay on device and feed the
+        # jitted LBA directly (a host round-trip here would be pure stall)
+        dmap_ref, conf_ref, dmap_kf, conf_kf = lba_maps(
+            dpv_ref, jnp.asarray(pose_next))
 
         if first_frame:
             first_frame = False
