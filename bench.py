@@ -34,7 +34,10 @@ def main():
     from neuralrgbd_tpu.infer.rollout import make_rollout
     from neuralrgbd_tpu.train import create_train_state
 
-    cfg = ModelConfig(dtype=os.environ.get("BENCH_DTYPE", "float32"))
+    # default: bf16 inference compute (ModelConfig.infer_dtype, validated on
+    # trained weights — tools/eval_bf16.py); BENCH_DTYPE=float32 reverts
+    bd = os.environ.get("BENCH_DTYPE")
+    cfg = ModelConfig(dtype=bd, infer_dtype=bd) if bd else ModelConfig()
     T = int(os.environ.get("BENCH_FRAMES", "32"))
     REPS = int(os.environ.get("BENCH_REPS", "3"))
     batch, _ = synthetic_batch(cfg, n_lanes=1, img_hw=(256, 384), seed=0)

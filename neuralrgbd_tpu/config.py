@@ -49,6 +49,10 @@ class ModelConfig:
     # weight-import parity; False switches to standard running-stats BN.
     bn_batch_stats: bool = True
     dtype: str = "float32"         # compute dtype for convs ("bfloat16" ok)
+    # Inference-only conv compute dtype, applied by make_infer_step on TPU
+    # (training and the CPU parity/test backend keep ``dtype``). Validated
+    # on trained weights: tools/eval_bf16.py, PERF.md round-2 table.
+    infer_dtype: Optional[str] = "bfloat16"
 
     @property
     def d_candi(self) -> np.ndarray:

@@ -72,7 +72,15 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True):
       K        (N, 3, 3)      intrinsics at DPV resolution
       pose_next (N, 4, 4)     relative extrinsic ref->next-ref
     """
-    # TPU: fused Pallas sweep (inference has no grads through the warp)
+    # TPU: fused Pallas sweep (inference has no grads through the warp) and
+    # bfloat16 conv compute by default — validated on trained weights
+    # (tools/eval_bf16.py / PERF.md: abs-rel +0.06% rel, delta1 -1e-4,
+    # mean depth delta 3.9 mm; +8% throughput). cfg.infer_dtype=None keeps
+    # the training dtype; CPU (the parity/test backend) always keeps it.
+    if cfg.infer_dtype and jax.default_backend() == "tpu":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
     model = KVNet(cfg=cfg, single_refine=True,
                   fast_sweep=jax.default_backend() == "tpu")
 

@@ -38,7 +38,9 @@ make_traj, _ = synthetic_dataset(cfg32, img_size_wh=(384, 256), n_scenes=6,
 
 sample, _, _ = window_batch(make_traj(0), cfg32.t_win_r, cfg32.t_win_r,
                             with_labels=True)
-state = create_train_state(cfg32, TrainConfig(), sample)
+# TrainConfig must match the campaign's optimizer chain (grad clip adds
+# opt-state leaves; a mismatched tree fails the orbax restore)
+state = create_train_state(cfg32, TrainConfig(grad_clip_max=2.0), sample)
 ckpt = latest_checkpoint(args.save_dir)
 assert ckpt, f"no checkpoint under {args.save_dir}"
 state, _ = restore_checkpoint(ckpt, state)
