@@ -60,7 +60,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision):
+def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision,
+                 tap_dtype):
     """Grid cell = (view, y_out). Loops over the D depth hypotheses.
 
     px/py_ref: (1, 1, D, WP)  source-view pixel coords for this output row
@@ -110,7 +111,7 @@ def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision):
                           ((1.0 - wx) * inbx0)[None, :], 0.0)
                 + jnp.where(siota == x1c[None, :],
                             (wx * inbx1)[None, :], 0.0)
-            )
+            ).astype(tap_dtype)
 
             band = src_ref[0, pl.ds(ybase, BY)]            # (BY, CP, WP)
             warp = jnp.zeros((CP, WP), jnp.float32)
@@ -150,9 +151,15 @@ def sweep_cost_volume_fused(
     keep_last_channels: int = 0,
     band: int = 8,
     precision=None,
+    tap_dtype=None,
     interpret: bool = False,
 ):
-    """Drop-in fast path for ``ops.sweep.sweep_cost_volume`` (same returns)."""
+    """Drop-in fast path for ``ops.sweep.sweep_cost_volume`` (same returns).
+
+    ``tap_dtype=jnp.bfloat16`` stores the source features and the tap
+    selection matrix in bf16 (halved VMEM traffic, single-pass MXU dots,
+    f32 accumulation — the same numeric class as the model's bf16 convs);
+    default keeps fp32 operands."""
     V, H, W, C = src_feats.shape
     D = int(d_candi.shape[0])
     k = keep_last_channels
@@ -180,8 +187,9 @@ def sweep_cost_volume_fused(
     py = jnp.pad(py, ((0, 0),) * 3 + ((0, WP - W),), mode="edge")
 
     # channels-on-sublanes layout: (V, H, CP, WP) / (H, CP, WP)
+    tap = tap_dtype or jnp.float32
     srcT = jnp.pad(
-        src_feats.astype(jnp.float32).transpose(0, 1, 3, 2),
+        src_feats.astype(tap).transpose(0, 1, 3, 2),
         ((0, 0), (0, 0), (0, CP - C), (0, WP - W)),
     )
     refT = jnp.pad(
@@ -190,7 +198,8 @@ def sweep_cost_volume_fused(
     )
 
     kernel = _make_kernel(D, H, W, WP, CP, BY, k, kept_base=C - k,
-                          l1=(feat_dist == "L1"), precision=precision)
+                          l1=(feat_dist == "L1"), precision=precision,
+                          tap_dtype=tap)
 
     out_shape = [jax.ShapeDtypeStruct((V, H, D, WP), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),

@@ -76,6 +76,21 @@ def test_fused_matches_xla(pose, feat_dist):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_bf16_taps_close():
+    """tap_dtype=bfloat16 keeps cost parity to bf16-class tolerance (a
+    measured PERF negative for speed on v5e — the dots are issue-bound —
+    but the option must stay numerically correct)."""
+    cam, d_candi, ref, srcs = _setup()
+    Rs, ts = _poses("translation")
+    want, _ = sweep_cost_volume(ref, srcs, Rs, ts, cam, d_candi, 10.0,
+                                keep_last_channels=3)
+    got, _ = sweep_cost_volume_fused(
+        ref, srcs, Rs, ts, cam, d_candi, 10.0, keep_last_channels=3,
+        tap_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_fused_no_kept_channels():
     cam, d_candi, ref, srcs = _setup(C=7)
     Rs, ts = _poses("translation")

@@ -45,6 +45,8 @@ def slope_time(step_fn, init, label="", flops=0.0, reps=2):
 
 
 def main():
+    import os
+
     from neuralrgbd_tpu.config import ModelConfig
     from neuralrgbd_tpu.models import FeatureExtractor, KNet, RNet
     from neuralrgbd_tpu.ops import (
@@ -52,7 +54,9 @@ def main():
     )
     from neuralrgbd_tpu.ops.pallas.resample import resample_dpv_pallas
 
-    cfg = ModelConfig()
+    dtype = jnp.dtype(os.environ.get("PROFILE_DTYPE", "float32"))
+    print(f"component dtype: {dtype}", flush=True)
+    cfg = ModelConfig(dtype=str(dtype))
     H, W, h, w = 256, 384, 64, 96
     D, V, F = cfg.ndepth, cfg.n_views, cfg.feature_dim
     rng = np.random.RandomState(0)
@@ -61,7 +65,7 @@ def main():
     d_candi = jnp.asarray(cfg.d_candi)
 
     # feature extractor (5 frames)
-    fe = FeatureExtractor(feature_dim=F, multi_scale=True)
+    fe = FeatureExtractor(feature_dim=F, multi_scale=True, dtype=dtype)
     x5 = jnp.asarray(rng.randn(V + 1, H, W, 3).astype(np.float32))
     fe_params = fe.init(jax.random.PRNGKey(0), x5)
 
@@ -86,7 +90,7 @@ def main():
     slope_time(sweep_step, ref_f, label=f"sweep+kept V={V} C={F+3}")
 
     # K-Net
-    knet = KNet(feature_dim=cfg.kv_feature_dim)
+    knet = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype)
     vol = jnp.asarray(rng.randn(1, D, h, w, cfg.kvnet_in_channels)
                       .astype(np.float32))
     kp = knet.init(jax.random.PRNGKey(0), vol)
@@ -98,7 +102,7 @@ def main():
     slope_time(knet_step, vol, label="K-Net 3D CNN", flops=0.893e12)
 
     # R-Net (single refine)
-    rnet = RNet(D=D)
+    rnet = RNet(D=D, dtype=dtype)
     dpv_p = jax.nn.softmax(jnp.asarray(
         rng.randn(1, h, w, D).astype(np.float32)), -1)
     f0 = jnp.asarray(rng.randn(1, h, w, F).astype(np.float32))
@@ -128,6 +132,38 @@ def main():
                                        float(np.log(1 / D)))
 
         slope_time(rs_pl, dpv0, label="resample_dpv Pallas")
+
+        from neuralrgbd_tpu.ops.pallas.sweep_fused import (
+            sweep_cost_volume_fused)
+
+        def sweep_fused_step(r):
+            c, kept = sweep_cost_volume_fused(
+                r, src_f, Rs, ts, cam, d_candi, 10.0, keep_last_channels=3)
+            return r + 1e-9 * (jnp.mean(c) + jnp.mean(kept))
+
+        slope_time(sweep_fused_step, ref_f, label="sweep fused Pallas")
+
+    # whole infer step (the bench per-frame compute, carry chained)
+    from neuralrgbd_tpu.data import synthetic_batch
+    from neuralrgbd_tpu.infer.step import make_infer_step
+    from neuralrgbd_tpu.train import create_train_state
+    from neuralrgbd_tpu.config import TrainConfig
+
+    bd = str(dtype) if str(dtype) != "float32" else None
+    icfg = ModelConfig(infer_dtype=bd) if bd else \
+        ModelConfig(infer_dtype=None)
+    batch, _ = synthetic_batch(icfg, n_lanes=1, img_hw=(H, W), seed=0)
+    state = create_train_state(icfg, TrainConfig(), batch)
+    istep = make_infer_step(icfg, jit=False)
+    b = {k: jnp.asarray(batch[k])
+         for k in ("ref", "srcs", "poses", "K", "pose_next")}
+
+    def infer_chain(bvp):
+        out = istep(state.params, b, bvp, jnp.ones((1,), bool))
+        return out.bv_predict
+
+    bvp0 = jnp.full((1, D, h, w), -np.log(D), jnp.float32)
+    slope_time(infer_chain, bvp0, label=f"FULL infer step (infer_dtype={bd})")
 
 
 if __name__ == "__main__":
