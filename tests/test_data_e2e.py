@@ -104,6 +104,41 @@ def test_cli_end_to_end(scene_root, tmp_path):
     assert lines[1].split("  ")[1].endswith("frame-000010.color.jpg")
 
 
+def test_chunked_loop_matches_per_frame(scene_root, tmp_path):
+    """run_trajectory's chunked scan path (chunk_t=8, in-jit window
+    assembly, padded tail, carry from the last real step) must reproduce
+    the per-frame stepping path (chunk_t=1) pgm-for-pgm. The 10-frame
+    scene gives 5 refs = one partial chunk, exercising the padding."""
+    from neuralrgbd_tpu.config import ModelConfig, TrainConfig
+    from neuralrgbd_tpu.data.scannet import make_trajectory
+    from neuralrgbd_tpu.data.trajectory import window_batch
+    from neuralrgbd_tpu.infer.export import read_pgm
+    from neuralrgbd_tpu.infer.loop import run_trajectory
+    from neuralrgbd_tpu.train import create_train_state
+
+    cfg = ModelConfig(feature_dim=16, kv_feature_dim=16, ndepth=8,
+                      d_min=0.5, d_max=4.0)
+    traj = make_trajectory(0, 5, scene_root, img_size_wh=(96, 64),
+                           d_candi=cfg.d_candi)
+    sample, _, _ = window_batch(traj, 2, 2, with_labels=True)
+    state = create_train_state(cfg, TrainConfig(), sample)
+
+    d_chunk = str(tmp_path / "chunk")
+    d_step = str(tmp_path / "step")
+    n1 = run_trajectory(state.params, cfg, traj, d_chunk, verbose=False,
+                        chunk_t=8)
+    n2 = run_trajectory(state.params, cfg, traj, d_step, verbose=False,
+                        chunk_t=1)
+    assert n1 == n2 == 5
+    for i in range(n1):
+        for pre in ("d", "conf"):
+            a = read_pgm(os.path.join(d_chunk, f"{pre}_{i:05d}.pgm"))
+            b = read_pgm(os.path.join(d_step, f"{pre}_{i:05d}.pgm"))
+            np.testing.assert_allclose(
+                a.astype(np.int64), b.astype(np.int64), atol=1,
+                err_msg=f"{pre}_{i}: chunked loop diverged from per-frame")
+
+
 def test_cli_invalid_pose_resets(scene_root, tmp_path_factory, tmp_path):
     """A scene with one invalid pose: the frame is skipped, the loop
     continues, and the contract still holds (test_KVNet.py:241-246)."""
