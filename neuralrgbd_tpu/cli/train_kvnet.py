@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "saved the loop position but never used it)")
     p.add_argument("--loss_type", type=str, default="NLL",
                    choices=["NLL", "L1"])
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv compute dtype for the TRAIN step (params, "
+                        "grads, optimizer stay float32 — standard mixed "
+                        "precision; measured in PERF.md)")
     p.add_argument("--save_dir", type=str, default="saved_models")
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--seed", type=int, default=0)
@@ -74,6 +79,7 @@ def main(argv=None):
         feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
         ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
         sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
+        dtype=args.dtype,
     )
     tcfg = TrainConfig(
         lr=args.LR, n_epoch=args.nepoch,

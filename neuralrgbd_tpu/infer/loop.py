@@ -269,20 +269,27 @@ def run_trajectory(
     hi = len(traj) - t_win_r * step - 1
 
     # decode prefetcher: hides the per-frame image/depth decode (~tens of
-    # ms) behind device compute; bounded lead so the trajectory's LRU cache
-    # can't evict frames before the dispatch loop reads them
-    traj._cache_size = max(traj._cache_size, 4 * t_win_r * step + 8)
+    # ms) behind device compute. A small pool decodes concurrently (PIL
+    # releases the GIL inside libjpeg/zlib); the bounded lead keeps the
+    # trajectory's LRU cache from evicting frames before the dispatch loop
+    # reads them.
+    traj._cache_size = max(traj._cache_size, 4 * t_win_r * step + 16)
     main_pos = lo
     stop_prefetch = False
+    decode_pool = ThreadPoolExecutor(max_workers=3)
 
     def prefetch():
         import time as _time
+        pending = []
         for i in range(lo - t_win_r * step, hi + step):
-            while not stop_prefetch and i > main_pos + 2 * t_win_r * step + 2:
+            while not stop_prefetch and i > main_pos + 2 * t_win_r * step + 6:
                 _time.sleep(0.002)
             if stop_prefetch:
                 return
-            traj.frame(min(max(i, 0), len(traj) - 1))
+            pending.append(decode_pool.submit(
+                traj.frame, min(max(i, 0), len(traj) - 1)))
+            while len(pending) > 3:
+                pending.pop(0).result()
 
     prefetcher = threading.Thread(target=prefetch, daemon=True)
     prefetcher.start()
@@ -377,6 +384,7 @@ def run_trajectory(
 
     stop_prefetch = True
     prefetcher.join(timeout=5)
+    decode_pool.shutdown(wait=False)
     submit_pending()
     for f in futures:
         f.result()
