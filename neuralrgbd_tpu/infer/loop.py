@@ -141,7 +141,9 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int):
                 body, (bvp, valid), (ref_idx, src_idx, poses, pose_next))
             bv_next = jax.lax.dynamic_index_in_dim(
                 bvs, n_real - 1, keepdims=False)
-            return d16, c16, bv_next
+            # one stacked output => ONE host fetch per chunk (each fetch
+            # costs ~55 ms fixed on the tunneled relay)
+            return jnp.stack([d16, c16]), bv_next
 
         _CHUNK_RUNNERS[key] = jax.jit(chunk, donate_argnums=(7,))
     return _CHUNK_RUNNERS[key]
@@ -236,15 +238,14 @@ def run_trajectory(
     info_rows = {}
     n_exported = 0
 
-    def flush(entries, d_stack, c_stack):
-        # export worker: ONE np.asarray per stack — the relay round-trip
-        # (~55 ms fixed regardless of size on this environment) is paid
-        # once per fetch_every frames instead of twice per frame
+    def flush(entries, dc_stack):
+        # export worker: the chunk's maps arrive as ONE stacked (2, T, H, W)
+        # array — a single relay round-trip (~55 ms fixed each on this
+        # environment) instead of two per chunk
         nonlocal n_exported
-        depths = np.asarray(d_stack)
-        confs = np.asarray(c_stack)
+        dc = np.asarray(dc_stack)
         for j, (batch_idx, rec) in enumerate(entries):
-            export_frame(res_dir, batch_idx, rec.img_raw, depths[j], confs[j])
+            export_frame(res_dir, batch_idx, rec.img_raw, dc[0, j], dc[1, j])
             info_rows[batch_idx] = [batch_idx, rec.img_path]
             n_exported += 1
 
@@ -259,7 +260,8 @@ def run_trajectory(
         if not pend_entries:
             return
         futures.append(executor.submit(
-            flush, pend_entries, jnp.stack(pend_d), jnp.stack(pend_c)))
+            flush, pend_entries,
+            jnp.stack([jnp.stack(pend_d), jnp.stack(pend_c)])))
         pend_entries, pend_d, pend_c = [], [], []
         while len(futures) > 3:      # bound device-buffer backlog
             futures.pop(0).result()
@@ -321,16 +323,16 @@ def run_trajectory(
         poses = np.concatenate([poses, poses[-1:].repeat(pad, 0)])
         pose_next = np.stack([c[4] for c in chunk_bufs])
         pose_next = np.concatenate([pose_next, pose_next[-1:].repeat(pad, 0)])
-        d16, c16, bv_predict = chunk_run(
+        dc16, bv_predict = chunk_run(
             params, frames_u8, ref_idx, src_idx,
             poses.astype(np.float32), K_np, pose_next.astype(np.float32),
             bv_predict, bv_valid, np.int32(n_real))
         bv_valid = jnp.ones((1,), bool)
         # the whole chunk stack goes to the export worker UNSLICED — the
-        # worker's np.asarray is one fetch, and per-frame slicing here
-        # would cost 2 enqueue round-trips per frame
+        # worker's np.asarray is one fetch; per-frame slicing here would
+        # cost 2 enqueue round-trips per frame
         entries = [(fc, rec) for (fc, rec, *_rest) in chunk_bufs]
-        futures.append(executor.submit(flush, entries, d16, c16))
+        futures.append(executor.submit(flush, entries, dc16))
         chunk_bufs.clear()
         while len(futures) > 3:      # bound device-buffer backlog
             futures.pop(0).result()
