@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--traj_idx", type=int, nargs="*", default=[0])
     p.add_argument("--img_width", type=int, default=384)
     p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--crop_w", type=int, default=384,
+                   help="KITTI center-crop width after resize "
+                        "(train_KVNet.py:229-237)")
     p.add_argument("--res_dir", type=str, default="results")
     p.add_argument("--multi_device", action="store_true",
                    help="run the listed --traj_idx trajectories in lockstep, "
@@ -86,7 +89,7 @@ def main(argv=None):
 
             return make_trajectory(
                 idx, args.dataset_path, img_size_wh=img_wh,
-                d_candi=cfg.d_candi,
+                crop_w=args.crop_w, d_candi=cfg.d_candi,
             )
         raise ValueError(args.dataset)
 
