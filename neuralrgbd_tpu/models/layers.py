@@ -140,7 +140,8 @@ class ConvB(nn.Module):
 
 
 class ConvBN(nn.Module):
-    """convbn (psm_submodule.py:10-16): conv (no bias) + BatchNorm."""
+    """convbn / convbn_3d[_bias] (psm_submodule.py:10-29): conv + BatchNorm
+    (``use_bias=True`` = the convbn_3d_bias variant)."""
 
     features: int
     kernel: int = 3
@@ -148,6 +149,7 @@ class ConvBN(nn.Module):
     pad: int = 1
     dilation: int = 1
     dims: int = 2
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,7 +158,8 @@ class ConvBN(nn.Module):
         pad = self.dilation if self.dilation > 1 else self.pad
         y = ConvB(
             self.features, self.kernel, self.stride, pad, self.dilation,
-            use_bias=False, dims=self.dims, dtype=self.dtype, name="conv",
+            use_bias=self.use_bias, dims=self.dims, dtype=self.dtype,
+            name="conv",
         )(x)
         return BatchNorm(name="bn")(y)
 
@@ -193,6 +196,46 @@ class ConvTranspose(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(self.dtype)
         return y.astype(x.dtype)
+
+
+class ConvTranspose3d(nn.Module):
+    """torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1, bias=False)
+    as an lhs-dilated conv (doubles D, H, W). Kernel stored flipped
+    relative to torch; the importer's deconv3d transform flips."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    pad: int = 1
+    out_pad: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel,) * 3 + (x.shape[-1], self.features)
+        w = self.param("kernel", he_normal_fanout(self.kernel, 3), kshape)
+        lo = self.kernel - 1 - self.pad
+        hi = lo + self.out_pad
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=((lo, hi),) * 3,
+            lhs_dilation=(self.stride,) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y.astype(x.dtype)
+
+
+def upsample_nearest_3d(x: jax.Array, factor: int = 2) -> jax.Array:
+    """torch nn.Upsample(scale_factor=2, mode='nearest') on (N,D,H,W,C)."""
+    for ax in (1, 2, 3):
+        x = jnp.repeat(x, factor, axis=ax)
+    return x
 
 
 def leaky_relu(x, slope: float = 0.01):

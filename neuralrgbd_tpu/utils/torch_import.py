@@ -106,6 +106,62 @@ def build_name_map(refine_net: str = "DPV") -> Dict[str, Tuple[str, str]]:
     return m
 
 
+def build_refine_head_map(head: str) -> Dict[str, Tuple[str, str]]:
+    """Name map for a STANDALONE legacy refine head's bare state_dict
+    (models/refine_legacy.py vs Refine.py:135-585). ``head`` in
+    {'unet2d', 'demon', '3d', '3d_nearest', 'unet3d_res', 'unet3d'}."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    def convbn3(tp, fp):
+        m[f"{tp}.0.0.weight"] = (f"{fp}/conv/kernel", "conv3d")
+        m[f"{tp}.0.0.bias"] = (f"{fp}/conv/bias", "copy")   # _bias variant
+        m[f"{tp}.0.1.weight"] = (f"{fp}/bn/scale", "copy")
+        m[f"{tp}.0.1.bias"] = (f"{fp}/bn/bias", "copy")
+
+    if head in ("unet2d", "demon"):
+        m.update(_conv_bias("conv0.0", "conv0"))
+        if head == "unet2d":
+            m.update(_conv_bias("conv0_1.0", "conv0_1"))
+        for name in ("conv1", "conv1_1", "conv2", "conv2_1", "conv3"):
+            m.update(_conv_bias(f"{name}.0", f"core/{name}"))
+        for name in ("trans_conv0", "trans_conv1"):
+            m[f"{name}.0.weight"] = (f"core/{name}/kernel", "deconv2d")
+            m[f"{name}.0.bias"] = (f"core/{name}/bias", "copy")
+        m.update(_conv_bias("conv3_1", "core/conv3_1"))
+        return m
+
+    if head in ("3d", "3d_nearest"):
+        for name in ("conv1", "conv2", "conv3", "conv4"):
+            convbn3(name, name)
+        if head == "3d":
+            for name in ("conv5", "conv6"):
+                m[f"{name}.0.weight"] = (f"{name}/kernel", "deconv3d")
+                m[f"{name}.1.weight"] = (f"{name}_bn/scale", "copy")
+                m[f"{name}.1.bias"] = (f"{name}_bn/bias", "copy")
+        else:  # Sequential(Upsample, convbn_3d) -> index 1
+            for name in ("conv5", "conv6"):
+                m[f"{name}.1.0.weight"] = (f"{name}/conv/kernel", "conv3d")
+                m[f"{name}.1.1.weight"] = (f"{name}/bn/scale", "copy")
+                m[f"{name}.1.1.bias"] = (f"{name}/bn/bias", "copy")
+        convbn3("classif1", "classif1_0")
+        m["classif1.2.weight"] = ("classif1_1/kernel", "conv3d")
+        return m
+
+    if head in ("unet3d_res", "unet3d"):
+        for name in ("conv1", "conv2", "conv3", "conv4", "conv5",
+                     "conv5_r", "conv6", "conv6_r", "conv7"):
+            convbn3(name, name)
+        return m
+
+    raise ValueError(head)
+
+
+def import_refine_head(state_dict, params, head: str):
+    """Pull a standalone legacy-head torch state_dict into flax params."""
+    name_map = build_refine_head_map(head)
+    return _import_with_map(state_dict, params, name_map)
+
+
 def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
     if kind == "copy":
         return arr
@@ -116,6 +172,9 @@ def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
     if kind == "deconv2d":
         # (I, O, kh, kw) -> flipped (kh, kw, I, O)
         return arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    if kind == "deconv3d":
+        # (I, O, kd, kh, kw) -> flipped (kd, kh, kw, I, O)
+        return arr[:, :, ::-1, ::-1, ::-1].transpose(2, 3, 4, 0, 1)
     raise ValueError(kind)
 
 
@@ -134,9 +193,13 @@ def import_torch_state_dict(state_dict, params, strict_shapes: bool = True,
     extractor in the torch tree (``d_net.feature_extraction.*`` aliases
     ``feature_extractor.*``) — duplicates are skipped silently.
     """
+    name_map = build_name_map(refine_net)
+    return _import_with_map(state_dict, params, name_map, strict_shapes)
+
+
+def _import_with_map(state_dict, params, name_map, strict_shapes=True):
     import jax
 
-    name_map = build_name_map(refine_net)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(
