@@ -31,6 +31,44 @@ def read_pgm(path: str) -> np.ndarray:
     return np.asarray(PIL.Image.open(path))
 
 
+def read_pfm(path: str):
+    """PFM reader (reference: utils/readpfm.py — whose py2-era string
+    comparison against the bytes header makes it raise on every file under
+    py3; this one works). Returns (array, scale); color files come back
+    (H, W, 3), grayscale (H, W), bottom-up flipped to row-major."""
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        if header == b"PF":
+            color = True
+        elif header == b"Pf":
+            color = False
+        else:
+            raise ValueError(f"not a PFM file: {path!r}")
+        dims = f.readline().split()
+        width, height = int(dims[0]), int(dims[1])
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.frombuffer(f.read(), endian + "f4")
+    shape = (height, width, 3) if color else (height, width)
+    return np.flipud(data.reshape(shape)).copy(), abs(scale)
+
+
+def export_pfm(path: str, arr: np.ndarray, scale: float = 1.0) -> None:
+    """Little-endian PFM writer (round-trips through ``read_pfm``)."""
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        header = b"PF"
+    elif arr.ndim == 2:
+        header = b"Pf"
+    else:
+        raise ValueError(f"PFM wants (H,W) or (H,W,3), got {arr.shape}")
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{arr.shape[1]} {arr.shape[0]}\n".encode())
+        f.write(f"{-abs(scale)}\n".encode())
+        f.write(np.flipud(arr).astype("<f4").tobytes())
+
+
 def export_frame(res_dir: str, batch_idx: int, img_raw_u8: np.ndarray,
                  depth_m: np.ndarray, conf: np.ndarray,
                  depth_scale: float = 1000.0, conf_scale: float = 1000.0):
