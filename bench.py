@@ -46,7 +46,25 @@ def main():
     keys = ("ref", "srcs", "poses", "K", "pose_next")
     frames = {k: jnp.asarray(np.stack([batch[k]] * T)) for k in keys}
 
-    rollout = make_rollout(cfg, jit=False)
+    # per-trajectory sweep planning, same ladder the production loop uses
+    # (infer/loop.plan_sweep): smallest exact band for these poses
+    if jax.default_backend() == "tpu":
+        from neuralrgbd_tpu.ops.camera import Camera
+        from neuralrgbd_tpu.ops.pallas.sweep_fused import band_spread
+
+        spread = int(jax.jit(
+            lambda Rs, ts, K, dc: band_spread(
+                Rs, ts, Camera(K=K), dc, 64, 96))(
+            jnp.asarray(batch["poses"][0][:, :3, :3]),
+            jnp.asarray(batch["poses"][0][:, :3, 3]),
+            jnp.asarray(batch["K"][0]), jnp.asarray(cfg.d_candi)))
+        band = next((b for b in (4, 8, 16) if spread <= b - 1), None)
+        fast_sweep, sweep_band = (True, band) if band else (False, 8)
+    else:
+        fast_sweep, sweep_band = None, 8
+
+    rollout = make_rollout(cfg, jit=False, fast_sweep=fast_sweep,
+                           sweep_band=sweep_band)
 
     @jax.jit
     def run(params, frames, bvp, valid):

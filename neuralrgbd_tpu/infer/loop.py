@@ -74,30 +74,86 @@ class _DeviceFrameCache:
                 del self._raw[self._raw_order.pop(0)]
         return self._raw[idx]
 
-    def window(self, traj: Trajectory, ref_indx: int, t_win_r: int,
-               step: int):
-        """Device-side equivalent of ``window_batch`` (without labels)."""
-        idxs = window_indices(ref_indx, t_win_r, step)
-        ref = traj.frame(ref_indx)
-        srcs = [traj.frame(i) for i in idxs]
-        valid = ref.pose_valid and all(s.pose_valid for s in srcs)
-        poses = np.stack([rel_pose(ref.ext_M, s.ext_M) for s in srcs])
-        next_idx = min(ref_indx + step, len(traj) - 1)
-        pose_next = rel_pose(ref.ext_M, traj.frame(next_idx).ext_M)
-        batch = {
-            "ref": self.get(traj, ref_indx)[None],
-            "srcs": jnp.stack([self.get(traj, i) for i in idxs])[None],
-            "poses": poses[None].astype(np.float32),
-            "K": traj.K_dpv[None].astype(np.float32),
-            "pose_next": pose_next[None].astype(np.float32),
-        }
-        return batch, ref, valid
+
+def _q16(x):
+    """Device-side pgm quantization, the ``(x * 1000).astype(uint16)``
+    contract. The clip makes XLA's saturating float->int conversion and
+    numpy's modulo wrap agree byte-for-byte on the d_max-bounded range the
+    model emits (values >= 65.536 would otherwise differ between the two)."""
+    return jnp.clip(x * 1000.0, 0.0, 65535.0).astype(jnp.uint16)
 
 
 _CHUNK_RUNNERS: dict = {}
 
+# graceful-degradation ladder for the fused sweep's source-row band: 4 for
+# small inter-frame roll (~halves the selection matmuls), 8 default, 16 as
+# the last fused step before the XLA fallback
+_SWEEP_BANDS = (4, 8, 16)
+_SPREAD_FNS: dict = {}
 
-def _chunk_runner(cfg: ModelConfig, chunk_t: int):
+
+def _spread_fn(h: int, w: int):
+    if (h, w) not in _SPREAD_FNS:
+        from neuralrgbd_tpu.ops.camera import Camera
+        from neuralrgbd_tpu.ops.pallas.sweep_fused import band_spread_seq
+
+        _SPREAD_FNS[(h, w)] = jax.jit(
+            lambda Rs, ts, K, dc: band_spread_seq(
+                Rs, ts, Camera(K=K), dc, h, w))
+    return _SPREAD_FNS[(h, w)]
+
+
+def plan_sweep(traj: Trajectory, cfg: ModelConfig, t_win_r: int, step: int,
+               enabled: bool | None = None):
+    """Pick (fast_sweep, sweep_band) from the trajectory's ACTUAL poses.
+
+    The fused Pallas sweep is exact only while every output row's y-taps
+    fit a ``band``-row source band (ops/pallas/sweep_fused.py); a handheld
+    sequence with more inter-frame roll would silently produce wrong cost
+    volumes. This measures the worst-case spread over all valid windows —
+    poses load without image decode, and the check is ONE dispatch + one
+    scalar fetch (``band_spread_seq``) — then returns the smallest exact
+    band, or disables the fused path loudly when none fits.
+    """
+    if enabled is None:
+        enabled = jax.default_backend() == "tpu"
+    if not enabled:
+        return None, 8   # make_infer_step keeps the XLA sweep off-TPU
+    lo = t_win_r * step
+    hi = len(traj) - t_win_r * step - 1
+    exts = [np.asarray(traj.pose_loader(i)) for i in range(len(traj))]
+    Rs, ts = [], []
+    for ref_indx in range(lo, hi):
+        idxs = window_indices(ref_indx, t_win_r, step)
+        if not (np.isfinite(exts[ref_indx]).all()
+                and all(np.isfinite(exts[i]).all() for i in idxs)):
+            continue
+        for i in idxs:
+            rp = rel_pose(exts[ref_indx], exts[i])
+            Rs.append(rp[:3, :3])
+            ts.append(rp[:3, 3])
+    if not Rs:
+        return True, 8
+    w_dpv, h_dpv = traj.dpv_size_wh
+    spread = int(_spread_fn(h_dpv, w_dpv)(
+        jnp.asarray(np.stack(Rs), jnp.float32),
+        jnp.asarray(np.stack(ts), jnp.float32),
+        jnp.asarray(traj.K_dpv, jnp.float32),
+        jnp.asarray(cfg.d_candi, jnp.float32)))
+    for b in _SWEEP_BANDS:
+        if spread <= b - 1:
+            return True, b
+    import warnings
+
+    warnings.warn(
+        f"trajectory inter-frame rotation needs a {spread + 1}-row sweep "
+        f"band (> {_SWEEP_BANDS[-1]}): disabling the fused Pallas sweep "
+        f"for this trajectory (~3x slower XLA sweep, exact).", stacklevel=2)
+    return False, 8
+
+
+def _chunk_runner(cfg: ModelConfig, chunk_t: int,
+                  fast_sweep: bool | None = None, sweep_band: int = 8):
     """Jitted T-frame scan with IN-JIT window assembly.
 
     On this environment's tunneled TPU every op/dispatch call costs ~2-5 ms
@@ -108,9 +164,10 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int):
     and ImageNet-normalized inside the jit. Emits uint16-quantized maps (the
     pgm contract) plus the carry of the LAST REAL step (padded tail chunks
     hand their carry forward correctly)."""
-    key = (repr(cfg), chunk_t)
+    key = (repr(cfg), chunk_t, fast_sweep, sweep_band)
     if key not in _CHUNK_RUNNERS:
-        raw_step = make_infer_step(cfg, jit=False)
+        raw_step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
+                                   sweep_band=sweep_band)
 
         def chunk(params, frames_u8, ref_idx, src_idx, poses, K, pose_next,
                   bvp, valid, n_real):
@@ -132,8 +189,8 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int):
                 }
                 out = raw_step(params, batch, bvp, v)
                 return (out.bv_predict, jnp.ones_like(v)), (
-                    (out.depth[0] * 1000.0).astype(jnp.uint16),
-                    (out.confidence[0] * 1000.0).astype(jnp.uint16),
+                    _q16(out.depth[0]),
+                    _q16(out.confidence[0]),
                     out.bv_predict,
                 )
 
@@ -153,7 +210,9 @@ _PAR_CHUNK_RUNNERS: dict = {}
 
 
 def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
-                           axis: str = "data"):
+                           axis: str = "data",
+                           fast_sweep: bool | None = None,
+                           sweep_band: int = 8):
     """Sharded T-frame scan over the lane mesh with in-jit window assembly
     (the multi-lane counterpart of ``_chunk_runner``). Per-step lane
     validity rides in as an (T, N) mask: step t consumes step t-1's mask as
@@ -161,9 +220,11 @@ def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
     lane_ok[i]`` recurrence of the per-frame loop."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (repr(cfg), tuple(d.id for d in mesh.devices.flat), chunk_t, axis)
+    key = (repr(cfg), tuple(d.id for d in mesh.devices.flat), chunk_t, axis,
+           fast_sweep, sweep_band)
     if key not in _PAR_CHUNK_RUNNERS:
-        raw_step = make_infer_step(cfg, jit=False)
+        raw_step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
+                                   sweep_band=sweep_band)
         data = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
         tdata = NamedSharding(mesh, P(None, axis))
@@ -186,8 +247,8 @@ def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
                 }
                 out = raw_step(params, batch, bvp, v)
                 return (out.bv_predict, okt), (
-                    (out.depth * 1000.0).astype(jnp.uint16),
-                    (out.confidence * 1000.0).astype(jnp.uint16),
+                    _q16(out.depth),
+                    _q16(out.confidence),
                 )
 
             (bv_f, v_f), (d16, c16) = jax.lax.scan(
@@ -224,10 +285,12 @@ def run_trajectory(
     real step). ``chunk_t=1`` restores per-frame stepping via
     ``infer_step``."""
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
+    fast_sweep, sweep_band = plan_sweep(traj, cfg, t_win_r, step)
     if chunk_t > 1:
-        chunk_run = _chunk_runner(cfg, chunk_t)
+        chunk_run = _chunk_runner(cfg, chunk_t, fast_sweep, sweep_band)
     else:
-        infer_step = infer_step or make_infer_step(cfg)
+        infer_step = infer_step or make_infer_step(
+            cfg, fast_sweep=fast_sweep, sweep_band=sweep_band)
     os.makedirs(res_dir, exist_ok=True)
 
     D = cfg.ndepth
@@ -237,6 +300,7 @@ def run_trajectory(
 
     info_rows = {}
     n_exported = 0
+    count_lock = threading.Lock()
 
     def flush(entries, dc_stack):
         # export worker: the chunk's maps arrive as ONE stacked (2, T, H, W)
@@ -247,7 +311,8 @@ def run_trajectory(
         for j, (batch_idx, rec) in enumerate(entries):
             export_frame(res_dir, batch_idx, rec.img_raw, dc[0, j], dc[1, j])
             info_rows[batch_idx] = [batch_idx, rec.img_path]
-            n_exported += 1
+        with count_lock:   # two flush workers can run concurrently
+            n_exported += len(entries)
 
     # 2 workers: batches are independent (ordering restored via info_rows)
     executor = ThreadPoolExecutor(max_workers=2)
@@ -372,11 +437,11 @@ def run_trajectory(
             out = infer_step(params, batch, bv_predict, bv_valid)
             bv_predict = out.bv_predict
             bv_valid = jnp.ones((1,), bool)
-            # device-side pgm quantization: byte-identical files, 4x fewer
-            # relay bytes (float->uint16 truncation == numpy's astype)
+            # device-side pgm quantization (see _q16): byte-identical files
+            # on the bounded depth range, 4x fewer relay bytes
             pend_entries.append((frame_cnt, ref_rec))
-            pend_d.append((out.depth[0] * 1000.0).astype(jnp.uint16))
-            pend_c.append((out.confidence[0] * 1000.0).astype(jnp.uint16))
+            pend_d.append(_q16(out.depth[0]))
+            pend_c.append(_q16(out.confidence[0]))
             if len(pend_entries) >= fetch_every:
                 submit_pending()
         if verbose:
@@ -456,7 +521,16 @@ def run_trajectories_parallel(
     hi = max(len(t) for t in trajs) - t_win_r * step - 1
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    chunk_run = _parallel_chunk_runner(cfg, mesh, chunk_t)
+    # lockstep lanes share ONE compiled program: the band must satisfy
+    # every lane's trajectory, and any lane needing the XLA fallback
+    # disables the fused sweep for all
+    plans = [plan_sweep(t, cfg, t_win_r, step) for t in trajs]
+    fast_sweep = (None if all(p[0] is None for p in plans)
+                  else all(bool(p[0]) for p in plans))
+    sweep_band = max(p[1] for p in plans)
+    chunk_run = _parallel_chunk_runner(cfg, mesh, chunk_t,
+                                       fast_sweep=fast_sweep,
+                                       sweep_band=sweep_band)
     win_off = np.array(window_indices(0, t_win_r, step), np.int32)
     n_frames_c = (chunk_t - 1) + 2 * t_win_r * step + 1
     Ks = np.stack([t.K_dpv for t in trajs]).astype(np.float32)

@@ -17,14 +17,17 @@ from neuralrgbd_tpu.config import ModelConfig
 from neuralrgbd_tpu.infer.step import make_infer_step
 
 
-def make_rollout(cfg: ModelConfig, jit: bool = True):
+def make_rollout(cfg: ModelConfig, jit: bool = True,
+                 fast_sweep: bool | None = None, sweep_band: int = 8):
     """Returns ``rollout(params, frames_batch, bv_predict0, bv_valid0)``.
 
     frames_batch: pytree with a leading time axis T over the per-step batch
     arrays (ref (T,N,H,W,3), srcs (T,N,V,H,W,3), poses, K, pose_next).
     Returns (depth (T,N,H,W), conf (T,N,H,W), final bv_predict).
+    ``fast_sweep``/``sweep_band``: see ``make_infer_step``.
     """
-    step = make_infer_step(cfg, jit=False)
+    step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
+                           sweep_band=sweep_band)
 
     def rollout(params, frames_batch, bv_predict0, bv_valid0):
         def body(carry, frame):

@@ -59,11 +59,18 @@ class InferStepOutput(NamedTuple):
     confidence: jax.Array     # (N, H, W) exp(max_d) from the refined DPV
 
 
-def make_infer_step(cfg: ModelConfig, jit: bool = True):
+def make_infer_step(cfg: ModelConfig, jit: bool = True,
+                    fast_sweep: bool | None = None, sweep_band: int = 8):
     """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
 
     ``jit=False`` returns the raw traceable function (the parallel layer
     re-jits it with explicit mesh shardings).
+
+    ``fast_sweep``/``sweep_band`` select the plane-sweep backend: None
+    keeps the default (fused Pallas kernel on TPU). The inference loop
+    plans these per trajectory from the actual poses
+    (``infer/loop.plan_sweep``) so the fused kernel's band precondition is
+    checked rather than assumed.
 
     batch dict (leading N = lanes):
       ref      (N, H, W, 3)   normalized reference frames
@@ -81,8 +88,10 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
+    if fast_sweep is None:
+        fast_sweep = jax.default_backend() == "tpu"
     model = KVNet(cfg=cfg, single_refine=True,
-                  fast_sweep=jax.default_backend() == "tpu")
+                  fast_sweep=fast_sweep, sweep_band=sweep_band)
 
     def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
         cam = Camera(K=K)
@@ -103,9 +112,14 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True):
             conf = upsample_bilinear_ac(conf_lr[..., None],
                                         depth.shape)[..., 0]
         else:
-            # refined-DPV depth regression + confidence (export_res.py:43-62)
+            # refined-DPV depth regression + confidence (export_res.py:43-62).
+            # With refine_dup the refined DPV has 4*D bins over the matching
+            # up4 label grid (config.d_candi_up4; see the note there about
+            # the reference's mismatched regression grid).
+            d_candi_r = (jnp.asarray(cfg.d_candi_up4) if cfg.refine_dup
+                         else d_candi)
             p = jnp.exp(out.dpv_refined)
-            depth = jnp.einsum("dhw,d->hw", p, d_candi)
+            depth = jnp.einsum("dhw,d->hw", p, d_candi_r)
             conf = jnp.max(p, axis=0)
         return out.dpv, out.dpv_refined, bv_next, depth, conf
 

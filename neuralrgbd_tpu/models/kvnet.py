@@ -58,6 +58,13 @@ class KVNet(nn.Module):
     # same bf16-class precision every conv already uses). Training keeps the
     # XLA sweep, which autodiffs through the gathers.
     fast_sweep: bool = False
+    # Source-row band height for the fused sweep (exact iff the poses' per-
+    # row y-tap spread <= sweep_band - 1; ops/pallas/sweep_fused.band_spread
+    # measures it). The inference loop plans this per trajectory from the
+    # actual poses (infer/loop.plan_sweep): 4 for small inter-frame roll
+    # (~halves the selection matmuls), 8 default, 16 as graceful
+    # degradation, XLA fallback beyond.
+    sweep_band: int = 8
 
     @nn.compact
     def __call__(
@@ -101,6 +108,16 @@ class KVNet(nn.Module):
         # warps: the last 3 swept channels are the 1/4-res RGB frames the
         # reference re-warps separately (KVNET.py:149-161).
         keep = 3 if cfg.use_img_intensity else 0
+        if self.fast_sweep and feat_ref_sw.shape[1] > 128:
+            # do not silently drop to the 3x slower XLA sweep at wide
+            # operating points (e.g. KITTI without --crop_w)
+            import warnings
+
+            warnings.warn(
+                f"fast_sweep requested but feature width "
+                f"{feat_ref_sw.shape[1]} > 128 lanes: falling back to the "
+                f"XLA sweep (~3x slower). Crop the input (--crop_w) or "
+                f"extend ops/pallas/sweep_fused to W-tiling.", stacklevel=2)
         if self.fast_sweep and feat_ref_sw.shape[1] <= 128:
             from neuralrgbd_tpu.ops.pallas.sweep_fused import (
                 sweep_cost_volume_fused)
@@ -111,6 +128,7 @@ class KVNet(nn.Module):
                 Rs, ts, cam, d_candi,
                 sigma=cfg.sigma_soft_max, feat_dist=cfg.feat_dist,
                 keep_last_channels=keep,
+                band=self.sweep_band,
             )
         else:
             swept = sweep_cost_volume(
@@ -150,7 +168,8 @@ class KVNet(nn.Module):
                 dmap_lr = jnp.einsum("dhw,d->hw", jnp.exp(dpv_log), d_candi)
                 return r_net(dmap_lr, ref_frame)  # (H, W) depth map
         else:
-            r_net = RNet(D=cfg.ndepth, dtype=dtype, name="r_net")
+            r_net = RNet(D=cfg.ndepth, upsample_D=cfg.refine_dup,
+                         dtype=dtype, name="r_net")
 
             def refine(dpv_log):
                 out = r_net(

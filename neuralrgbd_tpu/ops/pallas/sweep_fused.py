@@ -236,6 +236,19 @@ def sweep_cost_volume_fused(
     return cost, kept
 
 
+def _per_view_spread(R, t, cam: Camera, d_candi, H: int, W: int):
+    D = d_candi.shape[0]
+    c = _sweep_pixel_coords(cam, R, t, d_candi, H, W).reshape(D, H, W, 2)
+    py = jnp.clip(c[..., 1], -4.0, H + 3.0)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    valid = (y0 + 1 >= 0) & (y0 <= H - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    lo = jnp.min(jnp.where(valid, y0c, H - 1), axis=-1)   # (D, H)
+    hi = jnp.max(jnp.where(valid, jnp.clip(y0 + 1, 0, H - 1), 0), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    return jnp.max(jnp.where(any_valid, hi - lo, 0))
+
+
 def band_spread(Rs, ts, cam: Camera, d_candi, height: int, width: int):
     """Max per-row y-tap spread (in source rows) the kernel must cover.
 
@@ -243,18 +256,20 @@ def band_spread(Rs, ts, cam: Camera, d_candi, height: int, width: int):
     (max over views, depths, rows of in-bounds y0 spread). XLA, test/debug
     helper — not called on the hot path.
     """
-    D = d_candi.shape[0]
-    H, W = height, width
+    return jnp.max(jax.vmap(
+        lambda R, t: _per_view_spread(R, t, cam, d_candi, height, width)
+    )(Rs, ts))
 
-    def per_view(R, t):
-        c = _sweep_pixel_coords(cam, R, t, d_candi, H, W).reshape(D, H, W, 2)
-        py = jnp.clip(c[..., 1], -4.0, H + 3.0)
-        y0 = jnp.floor(py).astype(jnp.int32)
-        valid = (y0 + 1 >= 0) & (y0 <= H - 1)
-        y0c = jnp.clip(y0, 0, H - 1)
-        lo = jnp.min(jnp.where(valid, y0c, H - 1), axis=-1)   # (D, H)
-        hi = jnp.max(jnp.where(valid, jnp.clip(y0 + 1, 0, H - 1), 0), axis=-1)
-        any_valid = jnp.any(valid, axis=-1)
-        return jnp.max(jnp.where(any_valid, hi - lo, 0))
 
-    return jnp.max(jax.vmap(per_view)(Rs, ts))
+def band_spread_seq(Rs, ts, cam: Camera, d_candi, height: int, width: int):
+    """``band_spread`` over MANY (window, view) pose pairs sequentially.
+
+    ``Rs (N, 3, 3)``, ``ts (N, 3)`` with N = all of a trajectory's
+    window-view pairs. ``lax.map`` keeps the peak footprint at one view's
+    coordinate volume (D*H*W) regardless of N, so a whole trajectory's
+    precondition check is ONE dispatch + one scalar fetch (the up-front
+    gate ADVICE.md round 2 asked for)."""
+    return jnp.max(jax.lax.map(
+        lambda Rt: _per_view_spread(Rt[0], Rt[1], cam, d_candi,
+                                    height, width),
+        (Rs, ts)))

@@ -117,6 +117,37 @@ def test_fused_operating_point_channels():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("band", [4, 16])
+def test_fused_band_variants(band):
+    """BY=4 (the small-motion fast path) and BY=16 (graceful degradation)
+    match the oracle whenever the poses' spread fits band - 1."""
+    cam, d_candi, ref, srcs = _setup()
+    Rs, ts = _poses("translation")
+    spread = float(band_spread(Rs, ts, cam, d_candi, ref.shape[0],
+                               ref.shape[1]))
+    assert spread <= band - 1, f"test pose exceeds BY={band} ({spread})"
+    want_cost, want_kept = sweep_cost_volume(
+        ref, srcs, Rs, ts, cam, d_candi, 10.0, keep_last_channels=3)
+    got_cost, got_kept = sweep_cost_volume_fused(
+        ref, srcs, Rs, ts, cam, d_candi, 10.0, keep_last_channels=3,
+        band=band, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_cost), np.asarray(want_cost),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_kept), np.asarray(want_kept),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_band_spread_seq_matches_vmap():
+    from neuralrgbd_tpu.ops.pallas.sweep_fused import band_spread_seq
+
+    cam, d_candi, ref, srcs = _setup()
+    Rs, ts = _poses("rotation")
+    a = float(band_spread(Rs, ts, cam, d_candi, ref.shape[0], ref.shape[1]))
+    b = float(band_spread_seq(Rs, ts, cam, d_candi, ref.shape[0],
+                              ref.shape[1]))
+    assert a == b
+
+
 def test_band_spread_flags_violations():
     # a huge roll tilts rows far beyond any 8-row band
     cam, d_candi, ref, srcs = _setup()
