@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_width", type=int, default=384)
     p.add_argument("--img_height", type=int, default=256)
     p.add_argument("--pose_noise_level", type=float, default=0.0)
+    p.add_argument("--augment", action="store_true",
+                   help="photometric augmentation (ColorJitter + PCA "
+                        "lighting), one draw per lane per group")
+    p.add_argument("--refine_dup", action="store_true",
+                   help="R-Net upsamples the depth dimension 4x and the "
+                        "image-size NLL terms use 4*D-bin labels")
     p.add_argument("--grad_clip_max", type=float, default=None,
                    help="global-norm clip (the reference parsed but never "
                         "applied this; here it works)")
@@ -79,11 +85,11 @@ def main(argv=None):
         feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
         ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
         sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
-        dtype=args.dtype,
+        dtype=args.dtype, refine_dup=args.refine_dup,
     )
     tcfg = TrainConfig(
         lr=args.LR, n_epoch=args.nepoch,
-        pose_noise_level=args.pose_noise_level,
+        pose_noise_level=args.pose_noise_level, augment=args.augment,
         grad_clip_max=args.grad_clip_max, weight_var=args.weight_var,
         loss_type=args.loss_type,
         save_model_interv=args.save_model_interv,
@@ -161,15 +167,21 @@ def main(argv=None):
 
 
 def _dataset_factory(args, cfg, img_wh):
+    def with_labels_cfg(make):
+        if not cfg.refine_dup:
+            return make
+        return lambda i: make(i).enable_up4_labels()
+
     if args.dataset == "synthetic":
         from neuralrgbd_tpu.data.synthetic import synthetic_dataset
 
-        return synthetic_dataset(cfg, img_size_wh=img_wh)
+        make, n = synthetic_dataset(cfg, img_size_wh=img_wh)
+        return with_labels_cfg(make), n
     if args.dataset == "scannet":
         from neuralrgbd_tpu.data.scannet import make_trajectory, n_trajectories
 
         n = n_trajectories(args.dataset_path, args.split_file)
-        return (lambda i: make_trajectory(
+        return with_labels_cfg(lambda i: make_trajectory(
             i, args.frame_interv, args.dataset_path, args.split_file,
             img_size_wh=img_wh, d_candi=cfg.d_candi)), n
     if args.dataset == "7scenes":
@@ -179,14 +191,14 @@ def _dataset_factory(args, cfg, img_wh):
         )
 
         n = n_trajectories(args.dataset_path)
-        return (lambda i: make_trajectory(
+        return with_labels_cfg(lambda i: make_trajectory(
             i, args.dataset_path, img_size_wh=img_wh,
             d_candi=cfg.d_candi)), n
     if args.dataset == "kitti":
         from neuralrgbd_tpu.data.kitti import make_trajectory, n_trajectories
 
         n = n_trajectories(args.dataset_path)
-        return (lambda i: make_trajectory(
+        return with_labels_cfg(lambda i: make_trajectory(
             i, args.dataset_path, img_size_wh=img_wh,
             d_candi=cfg.d_candi)), n
     raise ValueError(args.dataset)

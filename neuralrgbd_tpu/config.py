@@ -44,6 +44,12 @@ class ModelConfig:
     # log-normalize; basic.py:309-321) instead of the learned K-Net gain —
     # the reference's baseline-model filtering framework.
     dnet_bayes: bool = False
+    # refine_dup (train_utils/train_KVNet.py:25,74-75; KVNET.py:38,59,85):
+    # the R-Net upsamples the DEPTH dimension 4x (RefineNet_DPV_upsample
+    # with upsample_D, Refine.py:44-49) and the two image-size NLL terms
+    # train against 4*D-bin labels (dmap_up4_imgsize_digit,
+    # scanNet.py:419-422). Off by default in the reference too.
+    refine_dup: bool = False
     # BatchNorm: the reference uses track_running_stats=False, i.e. batch
     # statistics at train AND eval (psm_submodule.py:10-16). Keep True for
     # weight-import parity; False switches to standard running-stats BN.
@@ -58,6 +64,16 @@ class ModelConfig:
     def d_candi(self) -> np.ndarray:
         # train_KVNet.py:175: np.linspace(d_min, d_max, ndepth)
         return np.linspace(self.d_min, self.d_max, self.ndepth).astype(np.float32)
+
+    @property
+    def d_candi_up4(self) -> np.ndarray:
+        # scanNet.py:327: linspace(d_candi.min(), d_candi.max(), 4*D) — the
+        # refine_dup label grid. (train_KVNet.py:75 regresses display depth
+        # on linspace(0, d_max, 4*D) instead; that grid does not match the
+        # labels the net is trained against, so depth regression here uses
+        # THIS grid.)
+        return np.linspace(self.d_min, self.d_max,
+                           4 * self.ndepth).astype(np.float32)
 
     @property
     def n_views(self) -> int:
@@ -87,6 +103,11 @@ class TrainConfig:
     n_epoch: int = 10              # local_train_scanNet.sh (KITTI: 20)
     batch_size: int = 0            # 0 => one lane per device
     pose_noise_level: float = 0.0  # --pose_noise_level
+    # photometric augmentation (data/augment.py): the reference SHIPS the
+    # jitter+PCA-lighting suite (utils/preprocess.py:67-77) but never wires
+    # it into its train loop; here --augment applies it with one parameter
+    # draw per lane per trajectory group (photoconsistency-preserving)
+    augment: bool = False
     weight_var: float = 1e-3       # --weight_var (L1 loss branch)
     loss_type: str = "NLL"
     grad_clip_max: Optional[float] = None  # reference parsed but never applied

@@ -63,6 +63,30 @@ def contrast(img: np.ndarray, rng: np.random.RandomState,
     return _lerp(img, np.full_like(img, gs.mean()), rng.uniform(0, var))
 
 
+def make_window_augment(seed: int, alphastd: float = 0.1,
+                        jitter_var: float = 0.4):
+    """One photoconsistent augmentation: FrameRecord -> normalized image.
+
+    Re-seeds a fresh RandomState per application, so every frame the
+    returned function touches gets the IDENTICAL jitter + lighting draw —
+    the window-consistency requirement from the module docstring (the
+    plane-sweep cost volume compares frames against each other). Pipeline
+    order matches the reference's inception_color_preproccess
+    (utils/preprocess.py:67-77): ColorJitter -> Lighting -> Normalize.
+    """
+    from neuralrgbd_tpu.data import preprocess as pp
+
+    def apply(rec) -> np.ndarray:
+        img01 = rec.img_raw.astype(np.float32) / 255.0
+        r = np.random.RandomState(seed)
+        img01 = color_jitter(img01, r, jitter_var, jitter_var, jitter_var)
+        img01 = lighting(img01, r, alphastd)
+        return ((img01 - pp.IMAGENET_MEAN) / pp.IMAGENET_STD).astype(
+            np.float32)
+
+    return apply
+
+
 def color_jitter(img: np.ndarray, rng: np.random.RandomState,
                  brightness_var: float = 0.4, contrast_var: float = 0.4,
                  saturation_var: float = 0.4,

@@ -21,7 +21,7 @@ class BatchGroup:
     """A group of ``batch_size`` trajectories advanced in lockstep."""
 
     def __init__(self, lanes: List[Trajectory], t_win_r: int, step: int,
-                 rng: np.random.RandomState):
+                 rng: np.random.RandomState, augment: bool = False):
         self.lanes = lanes
         self.t_win_r = t_win_r
         self.step = step
@@ -34,16 +34,29 @@ class BatchGroup:
             else 0
             for u in usable
         ]
+        # one photometric parameter draw per lane per group: stronger than
+        # per-window consistency (shared frames of overlapping windows AND
+        # the DPV carry all see one appearance), deterministic per seed.
+        # A tiny per-lane LRU avoids re-jittering the ~2*t_win_r shared
+        # frames of consecutive windows.
+        self.img_fns = [None] * len(lanes)
+        if augment:
+            from neuralrgbd_tpu.data.augment import make_window_augment
+
+            for i in range(len(lanes)):
+                self.img_fns[i] = _cached_img_fn(
+                    make_window_augment(int(rng.randint(0, 2 ** 31))))
 
     def frame_batch(self, frame_idx: int):
         """Stacked lanes batch for reference-frame position ``frame_idx``.
 
         Returns (batch dict incl. labels + lane_valid, ref records)."""
         parts, refs = [], []
-        for lane, off in zip(self.lanes, self.offsets):
+        for lane, off, img_fn in zip(self.lanes, self.offsets, self.img_fns):
             ref_indx = self.t_win_r * self.step + off + frame_idx
             b, ref, valid = window_batch(lane, ref_indx, self.t_win_r,
-                                         self.step, with_labels=True)
+                                         self.step, with_labels=True,
+                                         img_fn=img_fn)
             b["lane_valid"] = np.asarray([valid])
             parts.append(b)
             refs.append(ref)
@@ -52,6 +65,24 @@ class BatchGroup:
             for k in parts[0]
         }
         return batch, refs
+
+
+def _cached_img_fn(fn, capacity: int = 12):
+    """Wrap an image fn with a tiny per-record LRU (keyed on the record's
+    path, so the sliding window's shared frames jitter once)."""
+    from collections import OrderedDict
+
+    cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+    def wrapped(rec):
+        key = rec.img_path
+        if key not in cache:
+            cache[key] = fn(rec)
+            while len(cache) > capacity:
+                cache.popitem(last=False)
+        return cache[key]
+
+    return wrapped
 
 
 class BatchScheduler:
@@ -66,12 +97,14 @@ class BatchScheduler:
         step: int = 1,
         seed: int = 0,
         shuffle: bool = True,
+        augment: bool = False,
     ):
         self.make_traj = make_traj
         self.n_traj = n_traj
         self.batch_size = batch_size
         self.t_win_r = t_win_r
         self.step = step
+        self.augment = augment
         self.rng = np.random.RandomState(seed)
         order = np.arange(n_traj)
         if shuffle:
@@ -89,4 +122,5 @@ class BatchScheduler:
     def __iter__(self):
         for idxs in self.groups:
             lanes = [self.make_traj(i) for i in idxs]
-            yield BatchGroup(lanes, self.t_win_r, self.step, self.rng)
+            yield BatchGroup(lanes, self.t_win_r, self.step, self.rng,
+                             augment=self.augment)

@@ -101,7 +101,8 @@ def make_trajectory(traj_indx: int, frame_interval: int = 5,
                     database_path_base: str = "/datasets/scan-net-5-frame",
                     split_txt: Optional[str] = None,
                     img_size_wh=(384, 256), dpv_scale: float = 0.25,
-                    d_candi: Optional[np.ndarray] = None) -> Trajectory:
+                    d_candi: Optional[np.ndarray] = None,
+                    up4_labels: bool = False) -> Trajectory:
     _, imgs, dmaps, poses, info = get_paths(
         traj_indx, frame_interval, database_path_base, split_txt
     )
@@ -117,6 +118,7 @@ def make_trajectory(traj_indx: int, frame_interval: int = 5,
         d_candi=d_candi,
         depth_scale=0.001,
         name=os.path.basename(os.path.dirname(imgs[0])),
+        up4_labels=up4_labels,
     )
 
 

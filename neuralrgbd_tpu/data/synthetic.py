@@ -52,6 +52,8 @@ def synthetic_batch(cfg: ModelConfig, n_lanes: int = 1,
         "pose_next": np.stack([rand_pose(baseline) for _ in range(n_lanes)]),
         "dmap_digit": rng.randint(0, D, size=(n_lanes, h, w)).astype(np.int32),
         "dmap_imgsize_digit": rng.randint(0, D, size=(n_lanes, H, W)).astype(np.int32),
+        "dmap_up4_imgsize_digit": rng.randint(
+            0, 4 * D, size=(n_lanes, H, W)).astype(np.int32),
         "dmap_imgsize": rng.uniform(cfg.d_min, cfg.d_max,
                                     size=(n_lanes, H, W)).astype(np.float32),
         "lane_valid": np.ones((n_lanes,), bool),

@@ -31,6 +31,7 @@ class FrameRecord:
     img_path: str
     dmap: Optional[np.ndarray] = None            # (h, w) meters at DPV res
     dmap_digit: Optional[np.ndarray] = None      # (h, w) int32 bins
+    dmap_up4_imgsize_digit: Optional[np.ndarray] = None  # (H, W) 4*D bins
     dmap_imgsize: Optional[np.ndarray] = None    # (H, W) meters
     dmap_imgsize_digit: Optional[np.ndarray] = None  # (H, W) int32 bins
 
@@ -58,6 +59,7 @@ class Trajectory:
         depth_loader: Optional[Callable[[int], np.ndarray]] = None,
         cache_size: int = 8,
         name: str = "",
+        up4_labels: bool = False,
     ):
         self.img_paths = list(img_paths)
         self.dmap_paths = list(dmap_paths) if dmap_paths is not None else None
@@ -68,6 +70,12 @@ class Trajectory:
         self.img_size_wh = img_size_wh
         self.dpv_scale = dpv_scale
         self.d_candi = d_candi
+        # refine_dup label grid (scanNet.py:327): linspace over the same
+        # [min, max] at 4x the bin count
+        self.d_candi_up4 = (
+            np.linspace(np.min(d_candi), np.max(d_candi),
+                        4 * len(d_candi)).astype(np.float32)
+            if (up4_labels and d_candi is not None) else None)
         self.depth_scale = depth_scale
         self.depth_invalid_above_mm = depth_invalid_above_mm
         self.name = name
@@ -83,6 +91,18 @@ class Trajectory:
         # (two dataset instances in the reference, test_KVNet.py:138-154)
         self.K_dpv = rescale_K(self.K_orig, orig_wh, self.dpv_size_wh)
         self.K_img = rescale_K(self.K_orig, orig_wh, img_size_wh)
+
+    def enable_up4_labels(self) -> "Trajectory":
+        """Turn on refine_dup 4*D-bin labels post-construction (dataset
+        factories that predate the flag call this; clears the frame cache
+        so already-decoded records pick the labels up)."""
+        if self.d_candi is not None and self.d_candi_up4 is None:
+            self.d_candi_up4 = np.linspace(
+                np.min(self.d_candi), np.max(self.d_candi),
+                4 * len(self.d_candi)).astype(np.float32)
+            with self._cache_lock:
+                self._cache.clear()
+        return self
 
     def __len__(self) -> int:
         return len(self.img_paths)
@@ -112,6 +132,7 @@ class Trajectory:
         ext_M = self.pose_loader(idx)
 
         dmap = dmap_digit = dmap_imgsize = dmap_imgsize_digit = None
+        dmap_up4_imgsize_digit = None
         full = None
         if self.depth_loader is not None:
             full = self.depth_loader(idx)
@@ -132,11 +153,17 @@ class Trajectory:
             if self.d_candi is not None:
                 dmap_digit = pp.digitize_depth(dmap, self.d_candi)
                 dmap_imgsize_digit = pp.digitize_depth(dmap_imgsize, self.d_candi)
+                if self.d_candi_up4 is not None:
+                    # scanNet.py:419-422: digitize vs the 4*D grid, clamped
+                    # to [0, 4D-1] (digitize_depth already clamps)
+                    dmap_up4_imgsize_digit = pp.digitize_depth(
+                        dmap_imgsize, self.d_candi_up4)
 
         return FrameRecord(
             img=img, img_raw=raw, ext_M=ext_M, img_path=self.img_paths[idx],
             dmap=dmap, dmap_digit=dmap_digit, dmap_imgsize=dmap_imgsize,
             dmap_imgsize_digit=dmap_imgsize_digit,
+            dmap_up4_imgsize_digit=dmap_up4_imgsize_digit,
         )
 
 
@@ -155,13 +182,18 @@ def rel_pose(ext_ref: np.ndarray, ext_src: np.ndarray) -> np.ndarray:
 
 
 def window_batch(traj: Trajectory, ref_indx: int, t_win_r: int,
-                 step: int = 1, with_labels: bool = False):
+                 step: int = 1, with_labels: bool = False, img_fn=None):
     """Assemble the 1-lane step batch for a reference frame.
 
     Returns (batch dict, ref FrameRecord, window_valid: bool).
     ``pose_next`` is the relative pose to the next reference frame
     (ref + step), which is what the prediction resample targets
     (test_utils/test_KVNet.py:47-62).
+
+    ``img_fn(rec) -> (H, W, 3) normalized image`` overrides the stored
+    image — the augmentation hook (data/augment.make_window_augment); it
+    must be deterministic per record so shared frames of overlapping
+    windows stay photoconsistent.
     """
     idxs = window_indices(ref_indx, t_win_r, step)
     ref = traj.frame(ref_indx)
@@ -172,9 +204,10 @@ def window_batch(traj: Trajectory, ref_indx: int, t_win_r: int,
     next_idx = min(ref_indx + step, len(traj) - 1)
     pose_next = rel_pose(ref.ext_M, traj.frame(next_idx).ext_M)
 
+    get_img = img_fn or (lambda r: r.img)
     batch = {
-        "ref": ref.img[None],
-        "srcs": np.stack([s.img for s in srcs])[None],
+        "ref": get_img(ref)[None],
+        "srcs": np.stack([get_img(s) for s in srcs])[None],
         "poses": poses[None].astype(np.float32),
         "K": traj.K_dpv[None].astype(np.float32),
         "pose_next": pose_next[None].astype(np.float32),
@@ -184,4 +217,6 @@ def window_batch(traj: Trajectory, ref_indx: int, t_win_r: int,
         batch["dmap_imgsize_digit"] = ref.dmap_imgsize_digit[None]
         batch["dmap_imgsize"] = ref.dmap_imgsize[None].astype(np.float32)
         batch["lane_valid"] = np.asarray([valid])
+        if ref.dmap_up4_imgsize_digit is not None:
+            batch["dmap_up4_imgsize_digit"] = ref.dmap_up4_imgsize_digit[None]
     return batch, ref, valid

@@ -60,15 +60,12 @@ def make_sharded_train_step(cfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    batch_shardings = {
-        "ref": data, "srcs": data, "poses": data, "K": data,
-        "pose_next": data, "dmap_digit": data, "dmap_imgsize_digit": data,
-        "dmap_imgsize": data, "lane_valid": data,
-    }
-
+    # every batch leaf is lane-leading, so one data sharding applies as a
+    # pytree prefix to the whole dict (keeps the key set open — e.g. the
+    # optional refine_dup labels)
     return jax.jit(
         inner,
-        in_shardings=(repl, batch_shardings, data, data, repl),
+        in_shardings=(repl, data, data, data, repl),
         out_shardings=TrainStepOutput(repl, repl, data, data),
         donate_argnums=(2,),
     )
@@ -80,12 +77,9 @@ def make_sharded_infer_step(cfg: ModelConfig, mesh: Mesh, axis: str = "data"):
     inner = make_infer_step(cfg, jit=False)
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    batch_shardings = {
-        "ref": data, "srcs": data, "poses": data, "K": data, "pose_next": data,
-    }
     return jax.jit(
         inner,
-        in_shardings=(repl, batch_shardings, data, data),
+        in_shardings=(repl, data, data, data),
         out_shardings=InferStepOutput(data, data, data, data, data),
         donate_argnums=(2,),
     )

@@ -69,7 +69,8 @@ def train_epochs(
 
     for epoch in range(n_epoch):
         sched = BatchScheduler(make_traj, n_traj, batch_size,
-                               t_win_r=cfg.t_win_r, seed=tcfg.seed + epoch)
+                               t_win_r=cfg.t_win_r, seed=tcfg.seed + epoch,
+                               augment=tcfg.augment)
         for group_idx, group in enumerate(sched):
             D = cfg.ndepth
             probe, _ = group.frame_batch(0)

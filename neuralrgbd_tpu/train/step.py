@@ -120,10 +120,14 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, jit: bool = True):
         return loss, out.dpv
 
     def batch_loss(params, batch, bv_predict, bv_valid):
+        # refine_dup: the image-size NLL terms train against the 4*D-bin
+        # labels (train_utils/train_KVNet.py:107-108)
+        img_digit = (batch["dmap_up4_imgsize_digit"] if cfg.refine_dup
+                     else batch["dmap_imgsize_digit"])
         losses, dpvs = jax.vmap(
             lane_loss, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0)
         )(params, batch["ref"], batch["srcs"], batch["poses"], batch["K"],
-          batch["dmap_digit"], batch["dmap_imgsize_digit"],
+          batch["dmap_digit"], img_digit,
           batch["dmap_imgsize"], bv_predict, bv_valid)
         w = batch["lane_valid"].astype(losses.dtype)
         # mean over valid lanes == reference's loss/nGPU with nGPU=n_valid
