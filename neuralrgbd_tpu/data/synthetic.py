@@ -121,13 +121,16 @@ def write_scannet_scene(root: str, n_frames: int = 10,
 
 def synthetic_dataset(cfg: ModelConfig, img_size_wh=(384, 256),
                       n_scenes: int = 4, n_frames: int = 16,
-                      root: Optional[str] = None):
+                      root: Optional[str] = None, kind: str = "plane"):
     """Self-contained multi-scene synthetic dataset (one-time on-disk write).
 
     Returns ``(make_traj, n_scenes)`` — the dataset-factory contract shared
     by the train/test/evaluate CLIs' ``--dataset synthetic`` branches. Scenes
-    are multi-view-consistent plane renders (``write_plane_scene``), distinct
-    per index, in the ScanNet decoded layout.
+    are multi-view-consistent renders, distinct per index, in the ScanNet
+    decoded layout. ``kind``: 'plane' (single slanted plane,
+    ``write_plane_scene``), 'multi' (occlusion-correct multi-plane,
+    ``write_multiplane_scene``), or 'mixed' (alternating — the training-
+    campaign diversity setting).
     """
     import tempfile
 
@@ -135,16 +138,139 @@ def synthetic_dataset(cfg: ModelConfig, img_size_wh=(384, 256),
 
     root = root or os.path.join(
         tempfile.gettempdir(),
-        f"neuralrgbd_plane_scenes_{n_scenes}x{n_frames}")
+        f"neuralrgbd_{kind}_scenes_{n_scenes}x{n_frames}")
     for i in range(n_scenes):
         if not os.path.isdir(os.path.join(root, f"scene{i:04d}_00")):
-            write_plane_scene(root, i, n_frames=n_frames)
+            if kind == "multi" or (kind == "mixed" and i % 2 == 1):
+                write_multiplane_scene(root, i, n_frames=n_frames)
+            else:
+                write_plane_scene(root, i, n_frames=n_frames)
 
     def make_traj(i):
         return make_trajectory(i, 5, root, img_size_wh=img_size_wh,
                                d_candi=cfg.d_candi)
 
     return make_traj, n_scenes
+
+
+def write_multiplane_scene(root: str, scene_idx: int = 0, n_frames: int = 16,
+                           orig_wh=(640, 480),
+                           seed: Optional[int] = None) -> str:
+    """Multi-view-consistent scene of SEVERAL textured planes with correct
+    occlusion (per-pixel nearest positive ray intersection).
+
+    Geometry per seed: an infinite slanted back plane (like
+    ``write_plane_scene``) plus 2-4 floating rectangular slabs at varied
+    depths/orientations in front of it — depth discontinuities, occlusion
+    boundaries, and multiple depth modes per image, the structure classes a
+    single plane cannot produce. Depth ranges vary per scene within the
+    default d_candi [0.1, 5] m. ScanNet decoded on-disk layout.
+    """
+    import PIL.Image
+
+    seed = scene_idx if seed is None else seed
+    rng = np.random.RandomState(seed + 1000)
+    W, H = orig_wh
+    scene = os.path.join(root, f"scene{scene_idx:04d}_00")
+    os.makedirs(scene, exist_ok=True)
+
+    fx = fy = 585.0
+    cx, cy = W / 2.0 + 3.7, H / 2.0 - 2.1
+    K4 = np.eye(4)
+    K4[0, 0], K4[1, 1], K4[0, 2], K4[1, 2] = fx, fy, cx, cy
+    with open(os.path.join(scene, "_info.txt"), "w") as f:
+        f.write("m_versionNumber = 4\n")
+        f.write("m_sensorName = synthetic-multiplane\n")
+        f.write(f"m_colorWidth = {W}\n")
+        f.write(f"m_colorHeight = {H}\n")
+        f.write(f"m_depthWidth = {W}\n")
+        f.write(f"m_depthHeight = {H}\n")
+        f.write("m_depthShift = 1000\n")
+        f.write("m_calibrationColorIntrinsic = "
+                + " ".join(f"{v:.6f}" for v in K4.reshape(-1)) + "\n")
+
+    def make_plane(p0, normal_hint, extent):
+        n_w = np.asarray(normal_hint, np.float64)
+        n_w /= np.linalg.norm(n_w)
+        e1 = np.cross(n_w, [0.0, 1.0, 0.0])
+        if np.linalg.norm(e1) < 1e-6:
+            e1 = np.cross(n_w, [1.0, 0.0, 0.0])
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(n_w, e1)
+        return dict(p0=np.asarray(p0), n=n_w, e1=e1, e2=e2, extent=extent)
+
+    planes = []
+    # back plane: infinite, z0 varied per scene (varied depth range)
+    z_back = rng.uniform(2.2, 4.4)
+    planes.append(make_plane(
+        [0.0, 0.0, z_back],
+        [rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4), -1.0], None))
+    # floating slabs in front, nearer and smaller
+    for _ in range(int(rng.randint(2, 5))):
+        zc = rng.uniform(0.8, 0.75 * z_back)
+        center = [rng.uniform(-0.5, 0.5) * zc * 0.6,
+                  rng.uniform(-0.4, 0.4) * zc * 0.6, zc]
+        normal = [rng.uniform(-0.6, 0.6), rng.uniform(-0.6, 0.6), -1.0]
+        extent = (rng.uniform(0.15, 0.55) * zc, rng.uniform(0.12, 0.45) * zc)
+        planes.append(make_plane(center, normal, extent))
+    direc = rng.choice([-1.0, 1.0])
+    step_t = rng.uniform(0.018, 0.032)
+    yaw_rate = rng.uniform(-0.004, 0.004)
+    pitch_rate = rng.uniform(-0.003, 0.003)
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    d_cam = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)],
+                     axis=-1)
+
+    for i in range(n_frames):
+        yaw, pitch = yaw_rate * i, pitch_rate * i
+        Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                       [-np.sin(yaw), 0, np.cos(yaw)]])
+        Rx = np.array([[1, 0, 0],
+                       [0, np.cos(pitch), -np.sin(pitch)],
+                       [0, np.sin(pitch), np.cos(pitch)]])
+        R = Ry @ Rx
+        t = np.array([direc * step_t * i,
+                      0.006 * np.sin(i * 0.9 + seed),
+                      0.004 * np.cos(i * 1.3)])
+        c2w = np.eye(4)
+        c2w[:3, :3], c2w[:3, 3] = R, t
+        d_w = d_cam @ R.T
+
+        best_s = np.full((H, W), np.inf)
+        rgb = np.zeros((H, W, 3), np.uint8)
+        for pl_idx, pl in enumerate(planes):
+            denom = d_w @ pl["n"]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = ((pl["p0"] - t) @ pl["n"]) / denom
+            hit = np.isfinite(s) & (s > 0.05)
+            X = t + s[..., None] * d_w
+            rel = X - pl["p0"]
+            a, b = rel @ pl["e1"], rel @ pl["e2"]
+            if pl["extent"] is not None:
+                ea, eb = pl["extent"]
+                hit &= (np.abs(a) <= ea) & (np.abs(b) <= eb)
+            hit &= s < best_s
+            if not hit.any():
+                continue
+            # fixed per-plane seed: the texture is a pure function of the
+            # plane-local coordinates, i.e. rigidly attached to the surface
+            tex = _world_texture(np.random.RandomState(seed * 31 + 7 + pl_idx),
+                                 a, b)
+            best_s = np.where(hit, s, best_s)
+            rgb = np.where(hit[..., None], tex, rgb)
+
+        depth = np.where(np.isfinite(best_s), best_s, 0.0)
+
+        stem = os.path.join(scene, f"frame-{i * 5:06d}")
+        PIL.Image.fromarray(rgb).save(stem + ".color.jpg", quality=95)
+        dmm = (depth.clip(0, 65.535) * 1000).astype(np.uint16)
+        with open(stem + ".depth.pgm", "wb") as f:
+            f.write(f"P5\n{W} {H}\n65535\n".encode())
+            f.write(dmm.astype(">u2").tobytes())
+        np.savetxt(stem + ".pose.txt", c2w, fmt="%.7f")
+
+    return scene
 
 
 def _world_texture(rng, a, b):

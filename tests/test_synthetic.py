@@ -60,6 +60,57 @@ def test_plane_scene_photoconsistent(tmp_path, seed):
     assert np.percentile(rel, 95) < 0.01
 
 
+@pytest.mark.parametrize("seed", [1, 5])
+def test_multiplane_scene_photoconsistent_and_occluding(tmp_path, seed):
+    from neuralrgbd_tpu.data.synthetic import write_multiplane_scene
+
+    scene = write_multiplane_scene(str(tmp_path), 0, n_frames=5, seed=seed)
+    img0, d0, p0 = _load(scene, 0)
+    img4, d4, p4 = _load(scene, 4)
+    H, W = d0.shape
+    # occlusion structure exists: multiple depth modes + discontinuities
+    valid = d0 > 0
+    assert valid.mean() > 0.95
+    grad = np.abs(np.diff(d0, axis=1))
+    assert (grad > 0.3).mean() > 1e-4, "no depth discontinuities rendered"
+
+    fx = fy = 585.0
+    cx, cy = W / 2 + 3.7, H / 2 - 2.1
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    rays = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
+    Xw = (rays * d0[..., None]) @ p0[:3, :3].T + p0[:3, 3]
+    Xc = (Xw - p4[:3, 3]) @ p4[:3, :3]
+    u = Xc[..., 0] / Xc[..., 2] * fx + cx
+    v = Xc[..., 1] / Xc[..., 2] * fy + cy
+    iu, iv = np.floor(u).astype(int), np.floor(v).astype(int)
+    inb = (iu >= 0) & (iu < W - 1) & (iv >= 0) & (iv < H - 1) & valid
+    fu, fv = u - iu, v - iv
+    iu, iv = iu.clip(0, W - 2), iv.clip(0, H - 2)
+    # occlusion-aware check: only where the frame-4 surface is the SAME
+    # surface (depths agree), the warped color must match
+    zc = Xc[..., 2]
+    d4s = d4[iv.clip(0, H - 1), iu.clip(0, W - 1)]
+    same = inb & (np.abs(d4s - zc) / np.maximum(zc, 1e-6) < 0.01)
+    assert same.mean() > 0.6, "most pixels should stay co-visible"
+    samp = (img4[iv, iu] * ((1 - fu) * (1 - fv))[..., None]
+            + img4[iv, iu + 1] * (fu * (1 - fv))[..., None]
+            + img4[iv + 1, iu] * ((1 - fu) * fv)[..., None]
+            + img4[iv + 1, iu + 1] * (fu * fv)[..., None])
+    err = np.abs(samp - img0)[same]
+    assert err.mean() < 4.0, f"photometric error {err.mean():.2f}/255"
+
+
+def test_mixed_dataset_kinds(tmp_path):
+    cfg = ModelConfig()
+    make_traj, n = synthetic_dataset(cfg, n_scenes=2, n_frames=4,
+                                     root=str(tmp_path), kind="mixed")
+    d_plane = make_traj(0).frame(0).dmap_imgsize
+    d_multi = make_traj(1).frame(0).dmap_imgsize
+    # the multiplane scene has discontinuities; the single plane does not
+    assert (np.abs(np.diff(d_multi, axis=1)) > 0.3).any()
+    assert not (np.abs(np.diff(d_plane, axis=1)) > 0.3).any()
+
+
 def test_plane_scenes_distinct_and_in_range(tmp_path):
     cfg = ModelConfig()
     make_traj, n = synthetic_dataset(cfg, n_scenes=2, n_frames=4,
