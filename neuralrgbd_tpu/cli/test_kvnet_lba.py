@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--max_frame_idx", type=int, default=10**9)
     p.add_argument("--dat_indx_step", type=int, default=1)
     p.add_argument("--res_dir", type=str, default="results")
+    p.add_argument("--timing", action="store_true",
+                   help="print per-stage steady-state timing at the end "
+                        "(decode/window, infer dispatch, export fetch, LBA)")
     return p
 
 
@@ -155,6 +158,11 @@ def main(argv=None):
     first_frame = True
     frame_cnt_out = 0
 
+    import time as _time
+
+    timing = {"window": 0.0, "infer": 0.0, "export": 0.0, "lba": 0.0,
+              "frames": 0, "t_steady": 0.0}
+
     lo = t_win_r * step + args.min_frame_idx
     hi = L - t_win_r * step - step
     for ref_indx in range(lo, hi):
@@ -186,18 +194,23 @@ def main(argv=None):
             print(f"metric scale from DSO baselines: {scale:.4f}")
 
         # ---- KV-Net inference ----
+        t_frame0 = _time.perf_counter()
         traj.refresh_poses()  # poses changed; keep decoded images cached
         batch_np, ref_rec, _ = window_batch(traj, ref_indx, t_win_r, step)
         batch = jax.tree.map(jnp.asarray, batch_np)
+        t1 = _time.perf_counter()
         out = infer_step(params, batch, bv_predict, bv_valid)
         bv_predict = out.bv_predict
         bv_valid = jnp.ones((1,), bool)
+        t2 = _time.perf_counter()
 
         dc16 = np.asarray(quantize_maps(out.depth[0], out.confidence[0]))
         export_frame(res_dir, frame_cnt_out, ref_rec.img_raw,
                      dc16[0], dc16[1])
         scene_path_info.append([frame_cnt_out, ref_rec.img_path])
         frame_cnt_out += 1
+        t3 = _time.perf_counter()
+        first_frame_was = first_frame
 
         if args.LBA_max_iter <= 1:
             first_frame = False
@@ -248,11 +261,26 @@ def main(argv=None):
             opt_vars=(args.opt_r, args.opt_t), optimizer=lba_opt))
         for k, srcidx in enumerate(opt_idx):
             traj_extMs[srcidx] = rel_opt[k] @ traj_extMs[idx_next]
+        t4 = _time.perf_counter()
+        if not first_frame_was:
+            # steady state only (first window pays compiles + bootstrap)
+            timing["window"] += t1 - t_frame0
+            timing["infer"] += t2 - t1
+            timing["export"] += t3 - t2
+            timing["lba"] += t4 - t3
+            timing["t_steady"] += t4 - t_frame0
+            timing["frames"] += 1
         print(f"frame {ref_indx}: exported + poses optimized", flush=True)
 
     save_scene_path_info(os.path.join(res_dir, "scene_path_info.txt"),
                          scene_path_info)
     print(f"done: {frame_cnt_out} frames -> {res_dir}")
+    if args.timing and timing["frames"]:
+        n = timing["frames"]
+        print("TIMING " + " ".join(
+            f"{k}={timing[k] / n * 1e3:.1f}ms"
+            for k in ("window", "infer", "export", "lba"))
+            + f" fps={n / timing['t_steady']:.2f} frames={n}", flush=True)
     return frame_cnt_out
 
 

@@ -108,17 +108,9 @@ class KVNet(nn.Module):
         # warps: the last 3 swept channels are the 1/4-res RGB frames the
         # reference re-warps separately (KVNET.py:149-161).
         keep = 3 if cfg.use_img_intensity else 0
-        if self.fast_sweep and feat_ref_sw.shape[1] > 128:
-            # do not silently drop to the 3x slower XLA sweep at wide
-            # operating points (e.g. KITTI without --crop_w)
-            import warnings
-
-            warnings.warn(
-                f"fast_sweep requested but feature width "
-                f"{feat_ref_sw.shape[1]} > 128 lanes: falling back to the "
-                f"XLA sweep (~3x slower). Crop the input (--crop_w) or "
-                f"extend ops/pallas/sweep_fused to W-tiling.", stacklevel=2)
-        if self.fast_sweep and feat_ref_sw.shape[1] <= 128:
+        if self.fast_sweep:
+            # any width: the fused kernel x-tiles the output row (wide
+            # KITTI-no-crop operating points included)
             from neuralrgbd_tpu.ops.pallas.sweep_fused import (
                 sweep_cost_volume_fused)
 

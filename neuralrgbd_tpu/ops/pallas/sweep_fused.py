@@ -20,6 +20,10 @@ row then yields the cost reduction sum_c(warp - ref)^2 AND the warped
 last-k channels (the K-Net input RGB) in the same pass — no HBM tap traffic
 at all.
 
+Wide operating points (W > 128, e.g. KITTI without --crop_w at feature
+width 192) are handled by an x-tile grid axis: each grid cell warps one
+128-lane output tile against the full padded source width.
+
 Semantics match ``sweep_cost_volume`` (zero padding: out-of-frustum taps are
 weight-masked so fully-out pixels contribute the bare ||ref||^2 term;
 align_corners pixel mapping via the shared ``_sweep_pixel_coords``) with two
@@ -60,15 +64,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision,
+def _make_kernel(D, H, W, WS, CP, BY, k, kept_base, l1, precision,
                  tap_dtype):
-    """Grid cell = (view, y_out). Loops over the D depth hypotheses.
+    """Grid cell = (view, y_out, x_tile). Loops over the D hypotheses.
 
-    px/py_ref: (1, 1, D, WP)  source-view pixel coords for this output row
-    src_ref:   (1, H, CP, WP) one view's features, channels on sublanes
-    ref_ref:   (1, CP, WP)    reference features for this output row
-    cost_ref:  (1, 1, D, WP)  per-view cost rows (summed over views in XLA)
-    kept_ref:  (1, 1, k, D, WP) warped last-k channels (absent when k == 0)
+    One output row TILE is LANES wide; the source band spans the FULL
+    padded source width WS (x-taps land anywhere), so wide operating
+    points (KITTI no-crop, W=192) just add x-tile grid steps.
+
+    px/py_ref: (1, 1, D, LANES)  source pixel coords for this output tile
+    src_ref:   (1, H, CP, WS)    one view's features, channels on sublanes
+    ref_ref:   (1, CP, LANES)    reference features for this output tile
+    cost_ref:  (1, 1, D, LANES)  per-view cost rows (summed over views)
+    kept_ref:  (1, 1, k, D, LANES) warped last-k channels (when k > 0)
     """
     def kernel(px_ref, py_ref, src_ref, ref_ref, cost_ref, *maybe_kept):
         kept_ref = maybe_kept[0] if k else None
@@ -99,13 +107,14 @@ def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision,
             ybase = jnp.min(jnp.where(valid_row, y0c, H - 1))
             ybase = jnp.clip(ybase, 0, max(H - BY, 0))
 
-            biota = jax.lax.broadcasted_iota(jnp.int32, (BY, WP), 0) + ybase
+            biota = jax.lax.broadcasted_iota(jnp.int32, (BY, LANES), 0) \
+                + ybase
             ay = (
                 jnp.where(biota == y0c[None, :], (1.0 - wy) * inby0, 0.0)
                 + jnp.where(biota == y1c[None, :], wy * inby1, 0.0)
             )
 
-            siota = jax.lax.broadcasted_iota(jnp.int32, (WP, WP), 0)
+            siota = jax.lax.broadcasted_iota(jnp.int32, (WS, LANES), 0)
             axt = (
                 jnp.where(siota == x0c[None, :],
                           ((1.0 - wx) * inbx0)[None, :], 0.0)
@@ -113,8 +122,8 @@ def _make_kernel(D, H, W, WP, CP, BY, k, kept_base, l1, precision,
                             (wx * inbx1)[None, :], 0.0)
             ).astype(tap_dtype)
 
-            band = src_ref[0, pl.ds(ybase, BY)]            # (BY, CP, WP)
-            warp = jnp.zeros((CP, WP), jnp.float32)
+            band = src_ref[0, pl.ds(ybase, BY)]            # (BY, CP, WS)
+            warp = jnp.zeros((CP, LANES), jnp.float32)
             for b in range(BY):
                 p_b = jax.lax.dot_general(
                     band[b], axt,
@@ -163,12 +172,12 @@ def sweep_cost_volume_fused(
     V, H, W, C = src_feats.shape
     D = int(d_candi.shape[0])
     k = keep_last_channels
-    if W > LANES:
-        raise ValueError(f"fused sweep supports W <= {LANES}, got {W}")
     if feat_dist not in ("L2", "L1"):
         raise ValueError(f"undefined feature distance: {feat_dist}")
     BY = min(band, H)
-    WP = LANES
+    WS = _round_up(W, LANES)     # full source width (x-taps land anywhere)
+    XT = WS // LANES             # output x tiles (wide-W support)
+    WO = XT * LANES
     CP = _round_up(C, 8)
 
     # ---- coordinates (shared formula with the XLA path) ----
@@ -180,47 +189,48 @@ def sweep_cost_volume_fused(
     # keep int32 tap math sane for far-out-of-frustum points (weights are
     # masked to zero there anyway); edge-pad the lane axis so pad lanes
     # can't perturb the per-row band minimum. Row-major blocks want the
-    # output row axis ahead of depth: (V, H, D, WP).
+    # output row axis ahead of depth: (V, H, D, WO).
     px = jnp.clip(coords[..., 0], -4.0, W + 3.0).transpose(0, 2, 1, 3)
     py = jnp.clip(coords[..., 1], -4.0, H + 3.0).transpose(0, 2, 1, 3)
-    px = jnp.pad(px, ((0, 0),) * 3 + ((0, WP - W),), mode="edge")
-    py = jnp.pad(py, ((0, 0),) * 3 + ((0, WP - W),), mode="edge")
+    px = jnp.pad(px, ((0, 0),) * 3 + ((0, WO - W),), mode="edge")
+    py = jnp.pad(py, ((0, 0),) * 3 + ((0, WO - W),), mode="edge")
 
-    # channels-on-sublanes layout: (V, H, CP, WP) / (H, CP, WP)
+    # channels-on-sublanes layout: (V, H, CP, WS) / (H, CP, WO)
     tap = tap_dtype or jnp.float32
     srcT = jnp.pad(
         src_feats.astype(tap).transpose(0, 1, 3, 2),
-        ((0, 0), (0, 0), (0, CP - C), (0, WP - W)),
+        ((0, 0), (0, 0), (0, CP - C), (0, WS - W)),
     )
     refT = jnp.pad(
         ref_feat.astype(jnp.float32).transpose(0, 2, 1),
-        ((0, 0), (0, CP - C), (0, WP - W)),
+        ((0, 0), (0, CP - C), (0, WO - W)),
     )
 
-    kernel = _make_kernel(D, H, W, WP, CP, BY, k, kept_base=C - k,
+    kernel = _make_kernel(D, H, W, WS, CP, BY, k, kept_base=C - k,
                           l1=(feat_dist == "L1"), precision=precision,
                           tap_dtype=tap)
 
-    out_shape = [jax.ShapeDtypeStruct((V, H, D, WP), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),
+    out_shape = [jax.ShapeDtypeStruct((V, H, D, WO), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, D, LANES),
+                              lambda v, y, xt: (v, y, 0, xt),
                               memory_space=pltpu.VMEM)]
     if k:
-        out_shape.append(jax.ShapeDtypeStruct((V, H, k, D, WP), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, k, D, WP),
-                                      lambda v, y: (v, y, 0, 0, 0),
+        out_shape.append(jax.ShapeDtypeStruct((V, H, k, D, WO), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, k, D, LANES),
+                                      lambda v, y, xt: (v, y, 0, 0, xt),
                                       memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         kernel,
-        grid=(V, H),
+        grid=(V, H, XT),
         in_specs=[
-            pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),
+            pl.BlockSpec((1, 1, D, LANES), lambda v, y, xt: (v, y, 0, xt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, WP), lambda v, y: (v, y, 0, 0),
+            pl.BlockSpec((1, 1, D, LANES), lambda v, y, xt: (v, y, 0, xt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, CP, WP), lambda v, y: (v, 0, 0, 0),
+            pl.BlockSpec((1, H, CP, WS), lambda v, y, xt: (v, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CP, WP), lambda v, y: (y, 0, 0),
+            pl.BlockSpec((1, CP, LANES), lambda v, y, xt: (y, 0, xt),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if k else out_specs[0],
@@ -228,7 +238,7 @@ def sweep_cost_volume_fused(
         interpret=interpret,
     )(px, py, srcT, refT)
 
-    cost_v = outs[0] if k else outs                         # (V, H, D, WP)
+    cost_v = outs[0] if k else outs                         # (V, H, D, WO)
     cost = (jnp.sum(cost_v[..., :W], axis=0) / sigma).transpose(1, 0, 2)
     if not k:
         return cost

@@ -39,7 +39,11 @@ def train_epochs(
     save_dir: Optional[str] = None,
     max_steps: Optional[int] = None,
     verbose: bool = True,
+    eval_every: Optional[int] = None,
+    eval_fn: Optional[Callable] = None,
 ) -> TrainState:
+    """``eval_fn(state, total_iter)`` runs every ``eval_every`` steps
+    (periodic holdout evaluation without restarting the epoch stream)."""
     train_step = train_step or make_train_step(cfg, tcfg)
     writer = MetricsWriter(log_dir) if log_dir else None
     rng = jax.random.PRNGKey(tcfg.seed)
@@ -119,6 +123,11 @@ def train_epochs(
                                     extra={"epoch": epoch,
                                            "group": group_idx,
                                            "frame": frame_idx})
+
+                if (eval_fn is not None and eval_every
+                        and total_iter % eval_every == 0):
+                    flush_losses()
+                    eval_fn(state, total_iter)
 
                 if max_steps is not None and total_iter >= max_steps:
                     flush_losses()

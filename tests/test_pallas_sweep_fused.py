@@ -137,6 +137,40 @@ def test_fused_band_variants(band):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_wide_w_tiling():
+    """W=192 (the 768-wide KITTI no-crop feature width): the x-tile grid
+    axis must reproduce the XLA oracle across tile boundaries."""
+    cam, d_candi, ref, srcs = _setup(V=2, D=5, H=10, W=192, C=9)
+    Rs, ts = _poses("rotation")
+    want_cost, want_kept = sweep_cost_volume(
+        ref, srcs, Rs, ts, cam, d_candi, 10.0, keep_last_channels=3)
+    got_cost, got_kept = sweep_cost_volume_fused(
+        ref, srcs, Rs, ts, cam, d_candi, 10.0, keep_last_channels=3,
+        interpret=True)
+    # tolerance note: at x ~ 190 the fp32 fractional tap weight wx loses
+    # ~1e-5 to cancellation (px - floor(px) at larger magnitudes), and the
+    # oracle computes the same weight along a different fp32 path — the
+    # honest parity bound grows with W (verified band-independent: band=8
+    # and band=H produce the identical 1.3e-4 max deviation)
+    np.testing.assert_allclose(np.asarray(got_cost), np.asarray(want_cost),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_kept), np.asarray(want_kept),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_fused_wide_w_translation_spans_tiles():
+    # a large x-translation pushes taps across the 128-lane tile boundary
+    cam, d_candi, ref, srcs = _setup(V=2, D=4, H=8, W=160, C=8)
+    Rs = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
+    ts = jnp.asarray(np.array([[0.6, 0.0, 0.0], [-0.8, 0.05, 0.1]],
+                              np.float32))
+    want = sweep_cost_volume(ref, srcs, Rs, ts, cam, d_candi, 5.0)
+    got = sweep_cost_volume_fused(ref, srcs, Rs, ts, cam, d_candi, 5.0,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_band_spread_seq_matches_vmap():
     from neuralrgbd_tpu.ops.pallas.sweep_fused import band_spread_seq
 

@@ -31,6 +31,16 @@ p.add_argument("--mesh", action="store_true",
 p.add_argument("--lr", type=float, default=1e-4)
 p.add_argument("--save_dir", type=str, default="/tmp/campaign_ckpt")
 p.add_argument("--eval_frames", type=int, default=None)
+p.add_argument("--scenes", type=int, default=None,
+               help="training scenes (default: 5 legacy, 24 with --wide)")
+p.add_argument("--wide", action="store_true",
+               help="round-3 operating point: 24 mixed plane/multiplane "
+                    "scenes + photometric augmentation + pose noise, "
+                    "periodic holdout evals")
+p.add_argument("--eval_every", type=int, default=1000,
+               help="holdout eval every N steps (--wide)")
+p.add_argument("--augment", action="store_true")
+p.add_argument("--pose_noise", type=float, default=0.0)
 args = p.parse_args()
 
 if args.mesh:
@@ -57,21 +67,32 @@ from neuralrgbd_tpu.utils.checkpoint import (latest_checkpoint,
 if args.mesh:
     cfg = ModelConfig(ndepth=32, feature_dim=32, kv_feature_dim=32)
     img_wh, n_train, n_frames, batch = (128, 96), 8, 16, 8
+    kind = "plane"
 else:
     cfg = ModelConfig()                       # 384x256, D=64 operating point
-    img_wh, n_train, n_frames, batch = (384, 256), 5, 24, 1
+    img_wh, n_frames, batch = (384, 256), 24, 1
+    n_train = args.scenes or (24 if args.wide else 5)
+    kind = "mixed" if args.wide else "plane"
+if args.wide:
+    args.augment = True
+    if not args.pose_noise:
+        args.pose_noise = 0.02
 
 tcfg = TrainConfig(lr=args.lr, n_epoch=args.epochs or 10_000, seed=0,
-                   grad_clip_max=2.0, save_model_interv=10_000)
+                   grad_clip_max=2.0, save_model_interv=10_000,
+                   augment=args.augment, pose_noise_level=args.pose_noise)
 if args.epochs:
     args.max_steps = None
 
-root = os.path.join(tempfile.gettempdir(),
-                    f"campaign_scenes_{n_train + 1}x{n_frames}_{img_wh[0]}")
+root = os.path.join(
+    tempfile.gettempdir(),
+    f"campaign_{kind}_scenes_{n_train + 2}x{n_frames}_{img_wh[0]}")
+# two holdouts (one of each geometry kind under 'mixed'), never trained on
 make_traj, _ = synthetic_dataset(cfg, img_size_wh=img_wh,
-                                 n_scenes=n_train + 1, n_frames=n_frames,
-                                 root=root)
-holdout = make_traj(n_train)   # never passed to the scheduler
+                                 n_scenes=n_train + 2, n_frames=n_frames,
+                                 root=root, kind=kind)
+holdouts = [make_traj(n_train), make_traj(n_train + 1)]
+holdout = holdouts[0]
 
 print("devices:", jax.devices(), flush=True)
 
@@ -86,24 +107,32 @@ if args.resume:
     print(f"resumed from {ckpt} at step {int(state.step)}", flush=True)
 
 
+_INFER_STEP = None
+
+
 def evaluate(params, tag):
-    infer_step = make_infer_step(cfg)
+    global _INFER_STEP
+    if _INFER_STEP is None:
+        _INFER_STEP = make_infer_step(cfg)
+    infer_step = _INFER_STEP
     acc = MetricAccumulator()
     D = cfg.ndepth
-    w_dpv, h_dpv = holdout.dpv_size_wh
-    bvp = jnp.full((1, D, h_dpv, w_dpv), -np.log(D), jnp.float32)
-    valid = jnp.zeros((1,), bool)
-    lo, hi = cfg.t_win_r, len(holdout) - cfg.t_win_r - 1
-    if args.eval_frames:
-        hi = min(hi, lo + args.eval_frames)
-    for ref_indx in range(lo, hi):
-        b, rec, ok = window_batch(holdout, ref_indx, cfg.t_win_r)
-        assert ok
-        out = infer_step(params, jax.tree.map(jnp.asarray, b), bvp, valid)
-        bvp, valid = out.bv_predict, jnp.ones((1,), bool)
-        acc.update(depth_metrics(np.asarray(out.depth[0]),
-                                 rec.dmap_imgsize,
-                                 d_min=cfg.d_min, d_max=cfg.d_max))
+    evals = holdouts if args.wide else [holdout]
+    for ho in evals:
+        w_dpv, h_dpv = ho.dpv_size_wh
+        bvp = jnp.full((1, D, h_dpv, w_dpv), -np.log(D), jnp.float32)
+        valid = jnp.zeros((1,), bool)
+        lo, hi = cfg.t_win_r, len(ho) - cfg.t_win_r - 1
+        if args.eval_frames:
+            hi = min(hi, lo + args.eval_frames)
+        for ref_indx in range(lo, hi):
+            b, rec, ok = window_batch(ho, ref_indx, cfg.t_win_r)
+            assert ok
+            out = infer_step(params, jax.tree.map(jnp.asarray, b), bvp, valid)
+            bvp, valid = out.bv_predict, jnp.ones((1,), bool)
+            acc.update(depth_metrics(np.asarray(out.depth[0]),
+                                     rec.dmap_imgsize,
+                                     d_min=cfg.d_min, d_max=cfg.d_max))
     res = acc.result()
     print(f"EVAL[{tag}] " + json.dumps(
         {k: round(float(v), 4) for k, v in res.items()}), flush=True)
@@ -119,18 +148,37 @@ if args.mesh:
     print(f"DP over {mesh.devices.size} devices", flush=True)
 
 m0 = evaluate(state.params, f"step{int(state.step)}")
+best = {"abs_rel": float("inf"), "step": int(state.step)}
+
+
+def periodic_eval(st, total_iter):
+    m = evaluate(st.params, f"step{int(st.step)}")
+    if float(m["abs_rel"]) < best["abs_rel"]:
+        best.update(abs_rel=float(m["abs_rel"]),
+                    delta1=float(m["delta1"]), step=int(st.step))
+        save_checkpoint(os.path.join(args.save_dir, "best"), int(st.step), st)
+        print(f"  new best abs_rel {best['abs_rel']:.4f} "
+              f"@ step {best['step']} (checkpointed)", flush=True)
+
+
 t0 = time.time()
 state = train_epochs(state, cfg, tcfg, make_traj, n_train, batch,
                      train_step=train_step, save_dir=args.save_dir,
-                     max_steps=args.max_steps)
+                     max_steps=args.max_steps,
+                     eval_every=(args.eval_every if args.wide else None),
+                     eval_fn=(periodic_eval if args.wide else None))
 dt = time.time() - t0
 print(f"trained to step {int(state.step)} in {dt:.0f}s", flush=True)
 m1 = evaluate(state.params, f"step{int(state.step)}")
 
 print(json.dumps({
-    "campaign": "mesh-cpu" if args.mesh else "tpu-full-op-point",
+    "campaign": ("mesh-cpu" if args.mesh
+                 else "tpu-wide" if args.wide else "tpu-full-op-point"),
+    "scenes": n_train, "augment": bool(args.augment),
+    "pose_noise": args.pose_noise,
     "steps": int(state.step),
     "abs_rel": [round(float(m0["abs_rel"]), 4),
                 round(float(m1["abs_rel"]), 4)],
     "delta1": [round(float(m0["delta1"]), 4), round(float(m1["delta1"]), 4)],
+    "best": best if best["abs_rel"] < float("inf") else None,
 }), flush=True)
