@@ -60,7 +60,8 @@ class InferStepOutput(NamedTuple):
 
 
 def make_infer_step(cfg: ModelConfig, jit: bool = True,
-                    fast_sweep: bool | None = None, sweep_band: int = 8):
+                    fast_sweep: bool | None = None, sweep_band: int = 8,
+                    fast_knet: bool | None = None):
     """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
 
     ``jit=False`` returns the raw traceable function (the parallel layer
@@ -90,8 +91,11 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
         cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
     if fast_sweep is None:
         fast_sweep = jax.default_backend() == "tpu"
+    if fast_knet is None:
+        fast_knet = jax.default_backend() == "tpu"
     model = KVNet(cfg=cfg, single_refine=True,
-                  fast_sweep=fast_sweep, sweep_band=sweep_band)
+                  fast_sweep=fast_sweep, sweep_band=sweep_band,
+                  fast_knet=fast_knet)
 
     def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
         cam = Camera(K=K)

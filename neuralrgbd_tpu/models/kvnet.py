@@ -65,6 +65,11 @@ class KVNet(nn.Module):
     # (~halves the selection matmuls), 8 default, 16 as graceful
     # degradation, XLA fallback beyond.
     sweep_band: int = 8
+    # Inference-only: run the ten 64->64 K-Net convs on the pair-packed
+    # async-DMA implicit-GEMM chain (ops/pallas/conv3d_pair.py; MXU-peak
+    # dots, BN batch-stats reduced in-kernel). Same bf16 numeric class as
+    # the bf16 XLA convs. Training keeps the XLA K-Net (differentiable).
+    fast_knet: bool = False
 
     @nn.compact
     def __call__(
@@ -197,8 +202,17 @@ class KVNet(nn.Module):
                 ],
                 axis=-1,
             )  # (D, h, w, 3V+4) == kvnet_in_vol channel order, KVNET.py:166
-            gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
-                        name="kv_net")(vol[None])[0]     # (D, h, w)
+            use_fast_knet = (self.fast_knet and cfg.kv_feature_dim == 64
+                             and not self.is_initializing())
+            if use_fast_knet:
+                from neuralrgbd_tpu.ops.pallas.conv3d_pair import (
+                    knet_fast_apply)
+
+                gain = knet_fast_apply(
+                    self.variables["params"]["kv_net"], vol)
+            else:
+                gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
+                            name="kv_net")(vol[None])[0]  # (D, h, w)
             dpv_fused = jax.nn.log_softmax(gain + bv_predict, axis=0)
         dpv = jnp.where(bv_valid, dpv_fused, bv_cur)
 
