@@ -109,6 +109,7 @@ class KittiTrajectory(Trajectory):
     def __init__(self, *args, crop_w: Optional[int] = 384, **kwargs):
         super().__init__(*args, **kwargs)
         self.crop_w = crop_w
+        self.raw_crop_w = crop_w
         if crop_w is not None:
             W, H = self.img_size_wh
             assert (W - crop_w) % 2 == 0 and crop_w % 4 == 0

@@ -34,6 +34,23 @@ def load_image(path: str, size_wh: Optional[Tuple[int, int]] = None,
     return out, raw
 
 
+def load_raw(path: str, size_wh: Optional[Tuple[int, int]] = None,
+             crop_w: Optional[int] = None) -> np.ndarray:
+    """Raw uint8 frame only — the infer-loop decode-worker task (pure
+    function of (path, size, crop): picklable for a process pool, no jax,
+    no shared state; normalization happens in-jit from the raw bytes).
+    ``crop_w``: KITTI-style center crop after resize
+    (KittiTrajectory._load)."""
+    img = PIL.Image.open(path).convert("RGB")
+    if size_wh is not None:
+        img = img.resize(size_wh, PIL.Image.NEAREST)  # scanNet.py:369
+    raw = np.asarray(img, np.uint8)
+    if crop_w is not None:
+        side = (raw.shape[1] - crop_w) // 2
+        raw = raw[:, side:raw.shape[1] - side, :]
+    return raw
+
+
 def unnormalize_image(img: np.ndarray) -> np.ndarray:
     """Inverse of the ImageNet normalization -> uint8 (export_res.py:161-166)."""
     out = img * IMAGENET_STD + IMAGENET_MEAN

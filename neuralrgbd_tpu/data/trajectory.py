@@ -79,6 +79,9 @@ class Trajectory:
         self.depth_scale = depth_scale
         self.depth_invalid_above_mm = depth_invalid_above_mm
         self.name = name
+        # post-resize center crop the raw-decode worker task must apply
+        # (KittiTrajectory sets this; see preprocess.load_raw)
+        self.raw_crop_w: Optional[int] = None
         self._cache: OrderedDict[int, FrameRecord] = OrderedDict()
         self._cache_size = cache_size
         # frame() is called concurrently by the inference loop's decode

@@ -266,6 +266,61 @@ def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
     return _PAR_CHUNK_RUNNERS[key]
 
 
+class _RawSource:
+    """Process-pool frame decoder + host-side raw LRU.
+
+    PIL's jpeg decode holds the GIL for most of its ~36 ms/frame (measured,
+    PERF.md round 2), so the round-2 THREAD prefetcher still stole host time
+    from the dispatch loop. Worker PROCESSES remove the decode from this
+    process entirely; the task is a pure ``(path, size) -> uint8`` function
+    (``data.preprocess.load_raw``) — picklable, no jax, no shared state —
+    run under the spawn context so no forked jax/TPU runtime threads ride
+    into the children.
+    """
+
+    def __init__(self, traj: Trajectory, workers: int = 3,
+                 capacity: int = 96):
+        import multiprocessing
+        from collections import OrderedDict
+
+        self._paths = list(traj.img_paths)
+        self._size = traj.img_size_wh
+        self._crop_w = getattr(traj, "raw_crop_w", None)
+        self._fut: dict = {}
+        self._done: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._capacity = capacity
+        try:
+            self._pool = ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=multiprocessing.get_context("spawn"))
+        except Exception:            # restricted environments: decode inline
+            self._pool = None
+
+    def _clip(self, idx: int) -> int:
+        return min(max(idx, 0), len(self._paths) - 1)
+
+    def prefetch(self, idx: int) -> None:
+        idx = self._clip(idx)
+        if self._pool and idx not in self._fut and idx not in self._done:
+            self._fut[idx] = self._pool.submit(
+                pp.load_raw, self._paths[idx], self._size, self._crop_w)
+
+    def get(self, idx: int) -> np.ndarray:
+        idx = self._clip(idx)
+        if idx not in self._done:
+            f = self._fut.pop(idx, None)
+            self._done[idx] = (f.result() if f is not None
+                               else pp.load_raw(self._paths[idx], self._size,
+                                                self._crop_w))
+            while len(self._done) > self._capacity:
+                self._done.popitem(last=False)
+        return self._done[idx]
+
+    def close(self) -> None:
+        if self._pool:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+
+
 def run_trajectory(
     params,
     cfg: ModelConfig,
@@ -275,22 +330,24 @@ def run_trajectory(
     step: int = 1,
     infer_step=None,
     verbose: bool = True,
-    chunk_t: int = 8,
+    chunk_t: int = 16,
 ):
     """Returns the number of exported frames. Writes the full output
     contract (img/d/conf files + scene_path_info.txt) into ``res_dir``.
 
     ``chunk_t``: frames scanned per device dispatch (partial chunks are
     padded to keep one compiled shape; the carry is taken from the last
-    real step). ``chunk_t=1`` restores per-frame stepping via
-    ``infer_step``."""
+    real step). The relay fetch cost is fixed per chunk (~95 ms), so it
+    amortizes linearly in ``chunk_t``. ``chunk_t=1`` restores per-frame
+    stepping via ``infer_step``."""
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
     fast_sweep, sweep_band = plan_sweep(traj, cfg, t_win_r, step)
     if chunk_t > 1:
-        chunk_run = _chunk_runner(cfg, chunk_t, fast_sweep, sweep_band)
-    else:
-        infer_step = infer_step or make_infer_step(
-            cfg, fast_sweep=fast_sweep, sweep_band=sweep_band)
+        return _run_trajectory_chunked(
+            params, cfg, traj, res_dir, t_win_r, step, verbose, chunk_t,
+            fast_sweep, sweep_band)
+    infer_step = infer_step or make_infer_step(
+        cfg, fast_sweep=fast_sweep, sweep_band=sweep_band)
     os.makedirs(res_dir, exist_ok=True)
 
     D = cfg.ndepth
@@ -361,46 +418,7 @@ def run_trajectory(
     prefetcher = threading.Thread(target=prefetch, daemon=True)
     prefetcher.start()
 
-    # chunk accumulation: (frame_cnt, ref_rec, ref_indx, poses, pose_next)
-    # — all numpy; the device work happens in ONE jitted call per chunk
-    chunk_bufs = []
-    win_off = np.array(window_indices(0, t_win_r, step), np.int32)  # (V,)
-    n_frames_c = (chunk_t - 1) + 2 * t_win_r * step + 1
     K_np = traj.K_dpv.astype(np.float32)
-
-    def dispatch_chunk():
-        nonlocal bv_predict, bv_valid
-        if not chunk_bufs:
-            return
-        n_real = len(chunk_bufs)
-        pad = chunk_t - n_real
-        base = chunk_bufs[0][2] - t_win_r * step
-        # one contiguous device frame buffer covering every window (refs
-        # are consecutive), stacked from per-frame cached uploads
-        frames_u8 = jnp.stack([
-            frames.get_raw(traj, min(base + j, len(traj) - 1))
-            for j in range(n_frames_c)
-        ])
-        ref_idx = np.array([c[2] - base for c in chunk_bufs], np.int32)
-        ref_idx = np.concatenate([ref_idx, ref_idx[-1:].repeat(pad)])
-        src_idx = ref_idx[:, None] + win_off[None, :]
-        poses = np.stack([c[3] for c in chunk_bufs])
-        poses = np.concatenate([poses, poses[-1:].repeat(pad, 0)])
-        pose_next = np.stack([c[4] for c in chunk_bufs])
-        pose_next = np.concatenate([pose_next, pose_next[-1:].repeat(pad, 0)])
-        dc16, bv_predict = chunk_run(
-            params, frames_u8, ref_idx, src_idx,
-            poses.astype(np.float32), K_np, pose_next.astype(np.float32),
-            bv_predict, bv_valid, np.int32(n_real))
-        bv_valid = jnp.ones((1,), bool)
-        # the whole chunk stack goes to the export worker UNSLICED — the
-        # worker's np.asarray is one fetch; per-frame slicing here would
-        # cost 2 enqueue round-trips per frame
-        entries = [(fc, rec) for (fc, rec, *_rest) in chunk_bufs]
-        futures.append(executor.submit(flush, entries, dc16))
-        chunk_bufs.clear()
-        while len(futures) > 3:      # bound device-buffer backlog
-            futures.pop(0).result()
 
     for frame_cnt, ref_indx in enumerate(range(lo, hi)):
         main_pos = ref_indx
@@ -409,9 +427,8 @@ def run_trajectory(
         src_recs = [traj.frame(i) for i in idxs]
         valid = ref_rec.pose_valid and all(s.pose_valid for s in src_recs)
         if not valid:
-            # invalid pose: flush, skip the frame, reset the recurrence
+            # invalid pose: skip the frame, reset the recurrence
             # (test_KVNet.py:241-246)
-            dispatch_chunk()
             bv_valid = jnp.zeros((1,), bool)
             bv_predict = jnp.full_like(bv_predict, -np.log(D))
             if verbose:
@@ -421,33 +438,25 @@ def run_trajectory(
                           for s in src_recs])
         nxt = traj.frame(min(ref_indx + step, len(traj) - 1))
         pose_next = rel_pose(ref_rec.ext_M, nxt.ext_M)
-        if chunk_t > 1:
-            chunk_bufs.append((frame_cnt, ref_rec, ref_indx, poses,
-                               pose_next))
-            if len(chunk_bufs) == chunk_t:
-                dispatch_chunk()
-        else:
-            batch = {
-                "ref": frames.get(traj, ref_indx)[None],
-                "srcs": jnp.stack([frames.get(traj, i) for i in idxs])[None],
-                "poses": poses[None].astype(np.float32),
-                "K": K_np[None],
-                "pose_next": pose_next[None].astype(np.float32),
-            }
-            out = infer_step(params, batch, bv_predict, bv_valid)
-            bv_predict = out.bv_predict
-            bv_valid = jnp.ones((1,), bool)
-            # device-side pgm quantization (see _q16): byte-identical files
-            # on the bounded depth range, 4x fewer relay bytes
-            pend_entries.append((frame_cnt, ref_rec))
-            pend_d.append(_q16(out.depth[0]))
-            pend_c.append(_q16(out.confidence[0]))
-            if len(pend_entries) >= fetch_every:
-                submit_pending()
+        batch = {
+            "ref": frames.get(traj, ref_indx)[None],
+            "srcs": jnp.stack([frames.get(traj, i) for i in idxs])[None],
+            "poses": poses[None].astype(np.float32),
+            "K": K_np[None],
+            "pose_next": pose_next[None].astype(np.float32),
+        }
+        out = infer_step(params, batch, bv_predict, bv_valid)
+        bv_predict = out.bv_predict
+        bv_valid = jnp.ones((1,), bool)
+        # device-side pgm quantization (see _q16): byte-identical files
+        # on the bounded depth range, 4x fewer relay bytes
+        pend_entries.append((frame_cnt, ref_rec))
+        pend_d.append(_q16(out.depth[0]))
+        pend_c.append(_q16(out.confidence[0]))
+        if len(pend_entries) >= fetch_every:
+            submit_pending()
         if verbose:
             print(f"Finished frame {frame_cnt + 1}/{hi - lo}", flush=True)
-
-    dispatch_chunk()
 
     stop_prefetch = True
     prefetcher.join(timeout=5)
@@ -456,6 +465,132 @@ def run_trajectory(
     for f in futures:
         f.result()
     executor.shutdown()
+    scene_path_info = [[traj.name or os.path.dirname(traj.img_paths[0])]]
+    scene_path_info += [info_rows[k] for k in sorted(info_rows)]
+    save_scene_path_info(os.path.join(res_dir, "scene_path_info.txt"),
+                         scene_path_info)
+    return n_exported
+
+
+def _run_trajectory_chunked(params, cfg, traj, res_dir, t_win_r, step,
+                            verbose, chunk_t, fast_sweep, sweep_band):
+    """The production export path: chunked jitted scans with in-jit window
+    assembly, process-pool decode, device-side quantization, and one
+    stacked fetch per chunk (PERF.md "Host-loop export de-stall")."""
+    chunk_run = _chunk_runner(cfg, chunk_t, fast_sweep, sweep_band)
+    os.makedirs(res_dir, exist_ok=True)
+
+    D = cfg.ndepth
+    w_dpv, h_dpv = traj.dpv_size_wh
+    bv_predict = jnp.full((1, D, h_dpv, w_dpv), -np.log(D), jnp.float32)
+    bv_valid = jnp.zeros((1,), bool)
+
+    # poses load without image decode; validity mirrors FrameRecord's
+    exts = [np.asarray(traj.pose_loader(i)) for i in range(len(traj))]
+    pose_ok = [bool(np.isfinite(e).all()) for e in exts]
+
+    source = _RawSource(traj)
+    dev_raw: "dict[int, jax.Array]" = {}
+    dev_order: list = []
+
+    def dev_frame(idx: int):
+        idx = min(max(idx, 0), len(traj) - 1)
+        if idx not in dev_raw:
+            dev_raw[idx] = jnp.asarray(source.get(idx))
+            dev_order.append(idx)
+            while len(dev_order) > max(64, 2 * chunk_t + 8):
+                del dev_raw[dev_order.pop(0)]
+        return dev_raw[idx]
+
+    info_rows = {}
+    n_exported = 0
+    count_lock = threading.Lock()
+
+    def flush(entries, dc_stack):
+        # ONE stacked (2, T, H, W) fetch per chunk (~95 ms fixed relay cost
+        # each, amortized over chunk_t frames), off the dispatch thread
+        nonlocal n_exported
+        dc = np.asarray(dc_stack)
+        for j, (batch_idx, raw, path) in enumerate(entries):
+            export_frame(res_dir, batch_idx, raw, dc[0, j], dc[1, j])
+            info_rows[batch_idx] = [batch_idx, path]
+        with count_lock:
+            n_exported += len(entries)
+
+    executor = ThreadPoolExecutor(max_workers=2)
+    futures = []
+
+    lo = t_win_r * step
+    hi = len(traj) - t_win_r * step - 1
+    span = t_win_r * step
+
+    # chunk accumulation: (frame_cnt, ref_indx, poses, pose_next)
+    chunk_bufs = []
+    win_off = np.array(window_indices(0, t_win_r, step), np.int32)  # (V,)
+    n_frames_c = (chunk_t - 1) + 2 * span + 1
+    K_np = traj.K_dpv.astype(np.float32)
+
+    def dispatch_chunk():
+        nonlocal bv_predict, bv_valid
+        if not chunk_bufs:
+            return
+        n_real = len(chunk_bufs)
+        pad = chunk_t - n_real
+        base = chunk_bufs[0][1] - span
+        # one contiguous device frame buffer covering every window (refs
+        # are consecutive), stacked from per-frame cached uploads
+        frames_u8 = jnp.stack([
+            dev_frame(base + j) for j in range(n_frames_c)])
+        ref_idx = np.array([c[1] - base for c in chunk_bufs], np.int32)
+        ref_idx = np.concatenate([ref_idx, ref_idx[-1:].repeat(pad)])
+        src_idx = ref_idx[:, None] + win_off[None, :]
+        poses = np.stack([c[2] for c in chunk_bufs])
+        poses = np.concatenate([poses, poses[-1:].repeat(pad, 0)])
+        pose_next = np.stack([c[3] for c in chunk_bufs])
+        pose_next = np.concatenate([pose_next, pose_next[-1:].repeat(pad, 0)])
+        dc16, bv_predict = chunk_run(
+            params, frames_u8, ref_idx, src_idx,
+            poses.astype(np.float32), K_np, pose_next.astype(np.float32),
+            bv_predict, bv_valid, np.int32(n_real))
+        bv_valid = jnp.ones((1,), bool)
+        entries = [(fc, source.get(ri), traj.img_paths[ri])
+                   for (fc, ri, *_rest) in chunk_bufs]
+        futures.append(executor.submit(flush, entries, dc16))
+        chunk_bufs.clear()
+        while len(futures) > 3:      # bound device-buffer backlog
+            futures.pop(0).result()
+
+    lead = n_frames_c + chunk_t      # decode ~one chunk ahead
+    for j in range(min(lead, len(traj))):
+        source.prefetch(j)
+
+    for frame_cnt, ref_indx in enumerate(range(lo, hi)):
+        source.prefetch(ref_indx + lead)
+        valid = pose_ok[ref_indx] and all(
+            pose_ok[i] for i in window_indices(ref_indx, t_win_r, step))
+        if not valid:
+            dispatch_chunk()
+            bv_valid = jnp.zeros((1,), bool)
+            bv_predict = jnp.full_like(bv_predict, -np.log(D))
+            if verbose:
+                print(f"frame {ref_indx}: invalid pose, recurrence reset")
+            continue
+        poses = np.stack([
+            rel_pose(exts[ref_indx], exts[i])
+            for i in window_indices(ref_indx, t_win_r, step)])
+        nxt = min(ref_indx + step, len(traj) - 1)
+        pose_next = rel_pose(exts[ref_indx], exts[nxt])
+        chunk_bufs.append((frame_cnt, ref_indx, poses, pose_next))
+        if len(chunk_bufs) == chunk_t:
+            dispatch_chunk()
+        if verbose:
+            print(f"Finished frame {frame_cnt + 1}/{hi - lo}", flush=True)
+
+    dispatch_chunk()
+    for f in futures:
+        f.result()
+    executor.shutdown()
+    source.close()
     scene_path_info = [[traj.name or os.path.dirname(traj.img_paths[0])]]
     scene_path_info += [info_rows[k] for k in sorted(info_rows)]
     save_scene_path_info(os.path.join(res_dir, "scene_path_info.txt"),

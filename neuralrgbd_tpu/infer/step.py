@@ -91,8 +91,12 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
         cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
     if fast_sweep is None:
         fast_sweep = jax.default_backend() == "tpu"
+    # fast_knet default OFF: the pair-packed chain measured 22.8 ms vs
+    # XLA's 19.0 at the operating point — MXU-peak dots, but the BN-forced
+    # inter-layer materialization + entry/exit segments eat the win
+    # (PERF.md round-3 "K-Net conv attempt #2"). Kept as a tested opt-in.
     if fast_knet is None:
-        fast_knet = jax.default_backend() == "tpu"
+        fast_knet = False
     model = KVNet(cfg=cfg, single_refine=True,
                   fast_sweep=fast_sweep, sweep_band=sweep_band,
                   fast_knet=fast_knet)

@@ -160,9 +160,11 @@ def _make_kernel(D, H, W, WP, P2, with_stats):
             for kh in range(3):
                 a = slab[slot, :, kh * LN:(kh + 1) * LN]
                 parts.append(a)
-                # b[q] = a[q+1]: a left-roll, expressed with the positive
-                # shift pltpu.roll requires
-                parts.append(pltpu.roll(a, shift=P2 - 1, axis=0))
+                # b[q] = a[q+1]: a left-roll (positive-shift form). Mosaic
+                # only rotates 32-bit data, so round-trip through f32 —
+                # the MXU computes at bf16 precision either way.
+                b = pltpu.roll(a.astype(jnp.float32), shift=P2 - 1, axis=0)
+                parts.append(b.astype(jnp.bfloat16))
             return jnp.concatenate(parts, axis=-1)        # (P2, 6*LN)
 
         def out_dma(d, oslot):

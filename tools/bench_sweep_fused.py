@@ -66,16 +66,15 @@ def main():
 
     slope_time(xla_step, ref, "XLA sweep+kept (oracle)")
 
-    for prec, name in [(None, "default"),
-                       (jax.lax.Precision.HIGHEST, "highest")]:
-        def fused_step(x, p=prec):
+    for band in (8, 4, 16):
+        def fused_step(x, b=band):
             c, k = sweep_cost_volume_fused(
                 x, srcs, Rs, ts, cam, d_candi, cfg.sigma_soft_max,
-                keep_last_channels=3, precision=p)
+                keep_last_channels=3, band=b)
             return x + 1e-12 * (jnp.sum(c) + jnp.sum(k)).astype(x.dtype)
 
-        slope_time(fused_step, ref, f"fused Pallas sweep (prec={name})",
-                   flops=V * D * h * 8 * 2 * 128 * 128 * 72)
+        slope_time(fused_step, ref, f"fused Pallas sweep (band={band})",
+                   flops=V * D * h * band * 2 * 128 * 128 * 72)
 
 
 if __name__ == "__main__":

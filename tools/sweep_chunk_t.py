@@ -1,0 +1,61 @@
+"""Sweep the production-loop chunk_t on the real TPU (VERDICT r2 item 3).
+
+Uses a 240-frame synthetic trajectory so each configuration runs >10s of
+steady state (the 55-frame verify scene finishes in ~3s — pure noise).
+Two passes per chunk_t: pass 1 compiles, pass 2 is the datum.
+
+PYTHONPATH=/root/repo:/root/.axon_site python tools/sweep_chunk_t.py
+"""
+import os
+import tempfile
+import time
+
+import numpy as np
+
+import jax
+
+from neuralrgbd_tpu.config import ModelConfig
+from neuralrgbd_tpu.data.scannet import make_trajectory
+from neuralrgbd_tpu.data.synthetic import write_scannet_scene
+from neuralrgbd_tpu.infer.loop import run_trajectory
+
+N_FRAMES = 240
+
+cfg = ModelConfig()
+root = os.path.join(tempfile.gettempdir(), "sweep_chunk_scene")
+if not os.path.isdir(os.path.join(root, "scene0000_00")):
+    write_scannet_scene(root, n_frames=N_FRAMES)
+traj = make_trajectory(0, 5, root, img_size_wh=(384, 256),
+                       d_candi=cfg.d_candi)
+print("traj len:", len(traj), "devices:", jax.devices(), flush=True)
+
+
+class _Args:
+    t_win = cfg.t_win_r
+    model_path = None
+    refine_net = "DPV"
+
+
+from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
+
+params = _init_or_load_params(cfg, _Args(), traj)
+
+for chunk_t in (8, 16, 32):
+    res = os.path.join(tempfile.gettempdir(), f"sweep_chunk_{chunk_t}")
+    os.system(f"rm -rf {res} {res}_warm")
+    t0 = time.time()
+    n = run_trajectory(params, cfg, traj, res + "_warm", verbose=False,
+                       chunk_t=chunk_t)
+    print(f"chunk_t={chunk_t} pass1 (compile): {n} in {time.time()-t0:.1f}s",
+          flush=True)
+    best = 0.0
+    for rep in range(2):
+        os.system(f"rm -rf {res}")
+        t0 = time.time()
+        n = run_trajectory(params, cfg, traj, res, verbose=False,
+                           chunk_t=chunk_t)
+        dt = time.time() - t0
+        best = max(best, n / dt)
+        print(f"chunk_t={chunk_t} rep{rep}: {n} frames in {dt:.1f}s "
+              f"= {n/dt:.2f} FPS", flush=True)
+    print(f"RESULT chunk_t={chunk_t} fps={best:.2f}", flush=True)
