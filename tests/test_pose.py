@@ -13,7 +13,7 @@ from neuralrgbd_tpu.ops.camera import camera_from_K, rescale_K
 from neuralrgbd_tpu.ops.rotations import unitq_to_rotation
 from neuralrgbd_tpu.ops.sweep import backward_warp_by_depth
 from neuralrgbd_tpu.pose import dso
-from neuralrgbd_tpu.pose.lba import local_ba_direct
+from neuralrgbd_tpu.pose.lba import local_ba_direct, make_lba_program
 
 
 def _cam_for(W, H, f=60.0):
@@ -56,6 +56,51 @@ def test_lba_recovers_pose():
     err_init = np.linalg.norm(init[:3, 3] - t_true)
     err_opt = np.linalg.norm(out[:3, 3] - t_true)
     assert err_opt < 0.4 * err_init, (err_init, err_opt)
+
+
+def test_lba_program_matches_local_ba_direct():
+    """The fused one-dispatch program (pyramid + chart + Adam + SE(3)
+    assembly in a single jit; cli/test_kvnet_lba.py hot path) must agree
+    with the building-block composition AND still solve the pose problem.
+
+    Tolerance note: the two builds trace the same math through different
+    jit boundaries; XLA fusion rounding differs at ~1e-7 and Adam on a
+    photometric landscape amplifies it per iteration, so exact equality is
+    not expected — a smooth well-conditioned problem keeps agreement tight.
+    """
+    rng = np.random.RandomState(1)
+    H, W, C, V = 64, 96, 3, 2
+    cams = [_cam_for(W // s, H // s, f=60.0 / s) for s in (4, 2, 1)]
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    src = np.stack([
+        np.sin(xs / 7.0 + c) + np.cos(ys / 5.0 - c) for c in range(C)
+    ], -1) + 0.1 * rng.rand(H, W, C).astype(np.float32)
+    imgs_src = np.stack([src, src])
+    dmap = np.full((H, W), 2.0, np.float32)
+    conf = np.ones((H, W), np.float32)
+
+    t_true = np.array([0.06, -0.03, 0.02], np.float32)
+    img_ref = np.asarray(backward_warp_by_depth(
+        jnp.asarray(src)[None], jnp.asarray(dmap),
+        jnp.eye(3, dtype=np.float32)[None], jnp.asarray(t_true)[None],
+        cams[-1]))[0]
+
+    inits = np.stack([np.eye(4, dtype=np.float32)] * V)
+    inits[:, :3, 3] = t_true
+    inits[0, :3, 3] += [0.03, 0.02, -0.02]
+    inits[1, :3, 3] += [-0.02, 0.01, 0.015]
+
+    ref_out = np.asarray(local_ba_direct(
+        img_ref, imgs_src, dmap, conf, cams, inits,
+        max_iter=8, step=0.01, opt_vars=(0, 1)))
+    run = make_lba_program(cams, max_iter=8, step=0.01, opt_vars=(0, 1))
+    fused_out = np.asarray(run(jnp.asarray(img_ref), jnp.asarray(imgs_src),
+                               jnp.asarray(dmap), jnp.asarray(conf),
+                               jnp.asarray(inits)))
+    # (recovery itself is covered by test_lba_recovers_pose on
+    # local_ba_direct; this allclose ties the fused program to it)
+    np.testing.assert_allclose(fused_out, ref_out, rtol=1e-4, atol=2e-4)
 
 
 def _write_result_txt(path, n=12, invalid_at=(3,)):
