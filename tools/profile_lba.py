@@ -1,0 +1,80 @@
+"""Slope-time the fused LBA program on the real TPU.
+
+The LBA CLI's steady state is ~854 ms/frame of `lba` stage time after the
+host de-stall — this isolates where it goes: the lba_run device program
+(20 it x 3 scales x 4 views of warp+VJP), the lba_maps regression, and the
+per-call sync, each timed by the N2-N1 slope.
+
+PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_lba.py
+"""
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neuralrgbd_tpu.ops.camera import camera_from_K
+from neuralrgbd_tpu.pose.lba import make_lba_program
+
+H, W, V = 256, 384, 4
+print("devices:", jax.devices(), flush=True)
+
+rng = np.random.RandomState(0)
+K = np.array([[280.0, 0, W / 2], [0, 280.0, H / 2], [0, 0, 1]], np.float32)
+cams = [camera_from_K(np.diag([1 / s, 1 / s, 1.0]).astype(np.float32) @ K)
+        for s in (4, 2, 1)]
+
+img_ref = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+imgs_src = jnp.asarray(rng.rand(V, H, W, 3).astype(np.float32))
+dmap = jnp.asarray((2 + rng.rand(H, W)).astype(np.float32))
+conf = jnp.asarray(rng.rand(H, W).astype(np.float32))
+inits = np.stack([np.eye(4, dtype=np.float32)] * V)
+inits[:, :3, 3] = 0.02 * rng.randn(V, 3)
+inits = jnp.asarray(inits)
+
+
+def timed(label, fn, n1=3, n2=10, reps=3):
+    fn()  # compile
+    jax.block_until_ready(fn())
+    ts = {n1: [], n2: []}
+    for _ in range(reps):
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            jax.block_until_ready(out)
+            ts[n].append(time.perf_counter() - t0)
+    dt = (min(ts[n2]) - min(ts[n1])) / (n2 - n1)
+    print(f"{label:<40s} {dt*1e3:8.1f} ms/call", flush=True)
+    return dt
+
+
+for it in (20, 5, 1):
+    run = make_lba_program(cams, max_iter=it)
+    timed(f"lba_run 3-scale x {it} it x V=4",
+          lambda r=run: r(img_ref, imgs_src, dmap, conf, inits))
+
+run1 = make_lba_program(cams[-1:], dw_scales=(1,), max_iter=20)
+timed("lba_run 1-scale(full) x 20 it",
+      lambda: run1(img_ref, imgs_src, dmap, conf, inits))
+run1c = make_lba_program(cams[:1], dw_scales=(4,), max_iter=20)
+timed("lba_run 1-scale(quarter) x 20 it",
+      lambda: run1c(img_ref, imgs_src, dmap, conf, inits))
+
+# ---- sampler variants on the full 3-scale program ----
+import neuralrgbd_tpu.ops.sampling as sampling
+import neuralrgbd_tpu.ops.sweep as sweep
+
+orig = sampling.grid_sample_2d
+for meth in ("slice", "quad"):
+    sweep.grid_sample_2d = lambda img, c, padding="zeros", m=meth: orig(
+        img, c, padding=padding, method=m)
+    run_m = make_lba_program(cams, max_iter=20)
+    try:
+        timed(f"lba_run 3-scale x 20 it ({meth} gather)",
+              lambda r=run_m: r(img_ref, imgs_src, dmap, conf, inits))
+    except Exception as e:  # noqa: BLE001
+        print(f"{meth}: FAILED {type(e).__name__}: {e}", flush=True)
+sweep.grid_sample_2d = orig
