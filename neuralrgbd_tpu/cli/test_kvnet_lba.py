@@ -138,7 +138,10 @@ def main(argv=None):
     def lba_maps(dpv_ref, pose_next):
         """Depth + confidence regression for the LBA in ONE dispatch
         (test_KVNet_LBA.py:414-423); results stay on device — they feed
-        straight into the jitted ``local_ba_direct``."""
+        straight into the jitted ``local_ba_direct``. The image-res (W=384)
+        resample stays on the XLA path: the banded Pallas kernel's lane
+        gather is single-vreg-only on this Mosaic (W <= 128 — see
+        ops/pallas/resample.py)."""
         dpv_kf = resample_dpv(dpv_ref, jnp.linalg.inv(pose_next), cam_img,
                               d_candi, padding_value=math.log(1.0 / D))
         p_ref, p_kf = jnp.exp(dpv_ref), jnp.exp(dpv_kf)
@@ -150,8 +153,10 @@ def main(argv=None):
     @jax.jit
     def quantize_maps(depth, conf):
         # pgm contract quantization on device: one packed uint16 fetch
-        return jnp.stack([(depth * 1000.0).astype(jnp.uint16),
-                          (conf * 1000.0).astype(jnp.uint16)])
+        # (clipped so the XLA saturating cast == numpy's within range)
+        return jnp.stack([
+            jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16),
+            jnp.clip(conf * 1000.0, 0, 65535).astype(jnp.uint16)])
 
     res_dir = os.path.join(args.res_dir, args.exp_name)
     os.makedirs(res_dir, exist_ok=True)
@@ -177,15 +182,30 @@ def main(argv=None):
 
     K_np = traj.K_dpv[None].astype(np.float32)
 
-    # export runs OFF the dispatch thread: the worker performs the device
-    # fetch (np.asarray on the packed uint16 stack) + the PIL/pgm writes,
-    # overlapping the ~100+ ms relay fetch with the next frame's LBA
+    # export runs OFF the dispatch thread, and fetches are BATCHED: each
+    # per-frame fetch costs a fixed ~95 ms relay RPC that serializes against
+    # the LBA's own per-frame pose fetch, so quantized maps accumulate on
+    # device and ride up as ONE stacked uint16 fetch per EXPORT_CHUNK frames
+    # (the infer/loop.py chunk pattern applied to the pose-free pipeline)
+    EXPORT_CHUNK = 6
     exporter = ThreadPoolExecutor(max_workers=2)
     export_futs = []
+    pending_exports = []          # (frame_cnt, img_raw, dc_dev (2,H,W) u16)
 
-    def do_export(fc, img_raw, dc_dev):
-        dc = np.asarray(dc_dev)
-        export_frame(res_dir, fc, img_raw, dc[0], dc[1])
+    def flush_exports(metas, dc_stack_dev):
+        dc = np.asarray(dc_stack_dev)           # one fetch for the chunk
+        for (fc, img_raw), maps in zip(metas, dc):
+            export_frame(res_dir, fc, img_raw, maps[0], maps[1])
+
+    def queue_export(fc, img_raw, dc_dev):
+        pending_exports.append((fc, img_raw, dc_dev))
+        if len(pending_exports) >= EXPORT_CHUNK:
+            stack = jnp.stack([p[2] for p in pending_exports])
+            metas = [(p[0], p[1]) for p in pending_exports]
+            pending_exports.clear()
+            export_futs.append(exporter.submit(flush_exports, metas, stack))
+            while len(export_futs) > 2:  # bound device-buffer backlog
+                export_futs.pop(0).result()
 
     import time as _time
 
@@ -245,11 +265,8 @@ def main(argv=None):
         bv_valid = jnp.ones((1,), bool)
         t2 = _time.perf_counter()
 
-        export_futs.append(exporter.submit(
-            do_export, frame_cnt_out, ref_rec.img_raw,
-            quantize_maps(out.depth[0], out.confidence[0])))
-        while len(export_futs) > 4:      # bound device-buffer backlog
-            export_futs.pop(0).result()
+        queue_export(frame_cnt_out, ref_rec.img_raw,
+                     quantize_maps(out.depth[0], out.confidence[0]))
         scene_path_info.append([frame_cnt_out, ref_rec.img_path])
         frame_cnt_out += 1
         t3 = _time.perf_counter()
@@ -310,6 +327,11 @@ def main(argv=None):
             timing["frames"] += 1
         print(f"frame {ref_indx}: exported + poses optimized", flush=True)
 
+    if pending_exports:
+        stack = jnp.stack([p[2] for p in pending_exports])
+        metas = [(p[0], p[1]) for p in pending_exports]
+        pending_exports.clear()
+        export_futs.append(exporter.submit(flush_exports, metas, stack))
     for f in export_futs:
         f.result()
     exporter.shutdown()

@@ -36,7 +36,10 @@ def predict_next(dpv: jax.Array, pose_next: jax.Array, cam: Camera,
     """
     D = dpv.shape[0]
     rel = jnp.linalg.inv(pose_next)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and dpv.shape[2] <= 128:
+        # W > 128 spans multiple lane tiles; Mosaic's dynamic_gather is
+        # single-source-vreg-only, so wide dpvs (KITTI no-crop, W=192)
+        # stay on the XLA oracle (ops/pallas/resample.py docstring).
         from neuralrgbd_tpu.ops.pallas.resample import resample_dpv_pallas
 
         return resample_dpv_pallas(

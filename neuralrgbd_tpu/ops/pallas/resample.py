@@ -42,12 +42,20 @@ BZ = 8   # source-z band height
 BY = 8   # source-y band height
 
 
-def _resample_kernel(vol_ref, cx_ref, cy_ref, cz_ref, out_ref, *, D, H, W, WP):
+def _resample_kernel(vol_ref, cx_ref, cy_ref, cz_ref, out_ref, *, D, H, W,
+                     WP, BYL=BY):
     """Grid cell = one output depth slice d. Loops over the H output rows.
 
     vol_ref:  (D, H, WP) source volume (border pre-set, x-padded)
     c*_ref:   (1, H, WP) pixel-space sample coordinates for this d-slice
     out_ref:  (1, H, WP)
+
+    ``BYL`` is the number of source rows LOADED per band. With BYL == BY
+    the band starts at the per-row min y tap (a fully dynamic sublane
+    offset, which Mosaic only accepts at single-lane-tile widths); with
+    BYL == 2*BY the start is aligned down to a multiple of 8 — statically
+    provable, required for WP > 128 — and the doubled band still covers
+    the BY-row tap spread past the alignment shift.
     """
 
     def row_body(h, _):
@@ -71,21 +79,23 @@ def _resample_kernel(vol_ref, cx_ref, cy_ref, cz_ref, out_ref, *, D, H, W, WP):
         z1c = jnp.clip(z0 + 1, 0, D - 1)
 
         zbase = jnp.clip(jnp.min(z0c), 0, D - BZ)
-        ybase = jnp.clip(jnp.min(y0c), 0, H - BY)
+        ybase = jnp.clip(jnp.min(y0c), 0, H - BYL)
+        if BYL != BY:
+            ybase = (ybase // 8) * 8     # provable sublane alignment
 
-        band = vol_ref[pl.ds(zbase, BZ), pl.ds(ybase, BY), :]  # (BZ, BY, WP)
-        band2 = band.reshape(BZ * BY, WP)
+        band = vol_ref[pl.ds(zbase, BZ), pl.ds(ybase, BYL), :]
+        band2 = band.reshape(BZ * BYL, WP)
 
         # lane gathers: x taps, shared indices across the band rows
-        t0 = jnp.take_along_axis(band2, jnp.broadcast_to(x0c, (BZ * BY, WP)),
+        t0 = jnp.take_along_axis(band2, jnp.broadcast_to(x0c, (BZ * BYL, WP)),
                                  axis=1)
-        t1 = jnp.take_along_axis(band2, jnp.broadcast_to(x1c, (BZ * BY, WP)),
+        t1 = jnp.take_along_axis(band2, jnp.broadcast_to(x1c, (BZ * BYL, WP)),
                                  axis=1)
-        tx = t0 * (1.0 - wx) + t1 * wx           # (BZ*BY, WP)
+        tx = t0 * (1.0 - wx) + t1 * wx           # (BZ*BYL, WP)
 
         # (z, y) tap selection: masked sublane reduction over the band
-        bz = jax.lax.broadcasted_iota(jnp.int32, (BZ * BY, WP), 0) // BY
-        by = jax.lax.broadcasted_iota(jnp.int32, (BZ * BY, WP), 0) % BY
+        bz = jax.lax.broadcasted_iota(jnp.int32, (BZ * BYL, WP), 0) // BYL
+        by = jax.lax.broadcasted_iota(jnp.int32, (BZ * BYL, WP), 0) % BYL
 
         def tap(zc, yc, w):
             m = (bz == (zc - zbase)) & (by == (yc - ybase))
@@ -115,6 +125,17 @@ def resample_dpv_pallas(
     """Drop-in fast path for ``ops.dpv.resample_dpv`` (same signature)."""
     D, H, W = dpv.shape
     WP = max(128, int(np.ceil(W / 128) * 128))
+    # multi-lane-tile widths need the statically-aligned double band
+    # (see _resample_kernel); single-tile widths keep the minimal band
+    BYL = 2 * BY if (WP > 128 and H >= 2 * BY) else BY
+    if WP > 128 and not interpret:
+        # Mosaic's tpu.dynamic_gather reads from ONE source vreg: the
+        # per-lane x-tap gather cannot span >128 lanes on hardware yet.
+        # Callers (infer.step.predict_next, cli.test_kvnet_lba.lba_maps)
+        # gate on W <= 128 and fall back to ops.dpv.resample_dpv.
+        raise ValueError("resample_dpv_pallas requires W <= 128 on "
+                         "hardware (multi-vreg lane gather unsupported); "
+                         "use ops.dpv.resample_dpv")
 
     # ---- coordinates (cheap, stays in XLA) ----
     rays = unit_rays(cam, H, W)                       # (3, HW)
@@ -145,7 +166,8 @@ def resample_dpv_pallas(
     volp = jnp.pad(vol, ((0, 0), (0, 0), (0, WP - W)),
                    constant_values=padding_value)
 
-    kernel = functools.partial(_resample_kernel, D=D, H=H, W=W, WP=WP)
+    kernel = functools.partial(_resample_kernel, D=D, H=H, W=W, WP=WP,
+                               BYL=BYL)
     out = pl.pallas_call(
         kernel,
         grid=(D,),

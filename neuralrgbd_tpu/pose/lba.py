@@ -42,16 +42,23 @@ def _photometric_loss(uq, t, img_ref, dmap_ref, conf_ref, img_src, cam,
     true SE(3) inverse ``-R^T t`` — matched exactly), unweighted L1.
     The reference only wires this in its single-view variant (the parallel
     one raises ``not implemented`` at :275); here it composes with vmap.
+
+    Warps use the quad-packed gather (bit-identical bilinear formulation,
+    tests/test_sampling.py): one gather per pixel instead of four makes
+    the full 3-scale x 20-it program 292 -> 80 ms on v5e (PERF.md "LBA
+    pipeline") — the C=3 rows are narrow enough that index throughput,
+    not row bytes, is the bound.
     """
     R = unitq_to_rotation(uq)
     warped = backward_warp_by_depth(img_src[None], dmap_ref, R[None],
-                                    t[None], cam)[0]
+                                    t[None], cam, sample_method="quad")[0]
     mask = jax.lax.stop_gradient((warped != 0.0).astype(warped.dtype))
     c = conf_ref[..., None]
     loss = jnp.mean(jnp.abs(warped * mask * c - img_ref * mask * c))
     if dmap_src is not None:
         warped_r = backward_warp_by_depth(img_ref[None], dmap_src,
-                                          R.T[None], (-t)[None], cam)[0]
+                                          R.T[None], (-t)[None], cam,
+                                          sample_method="quad")[0]
         mask_r = jax.lax.stop_gradient(
             (warped_r != 0.0).astype(warped_r.dtype))
         loss = loss + jnp.mean(jnp.abs(warped_r * mask_r - img_src * mask_r))

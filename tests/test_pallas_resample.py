@@ -55,3 +55,20 @@ def test_pallas_nonsquare_width():
     got = resample_dpv_pallas(dpv, rel, cam, d_candi, pad, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(16, 32, 160), (12, 40, 288)])
+def test_pallas_wide_multi_lane_tile(shape):
+    """W > 128 engages the statically-aligned double band (BYL=16) that
+    Mosaic requires at multi-lane-tile widths — the image-res LBA resample
+    (cli/test_kvnet_lba.lba_maps, 64x256x384) and wide-W KITTI dpv shapes."""
+    D, H, W = shape
+    cam, d_candi, dpv = _setup(D=D, H=H, W=W)
+    R = unitq_to_rotation(jnp.asarray([1.0, 0.015, -0.01]))
+    rel = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(
+        jnp.asarray([0.03, -0.02, 0.05]))
+    pad = float(np.log(1.0 / D))
+    ref = resample_dpv(dpv, rel, cam, d_candi, pad)
+    got = resample_dpv_pallas(dpv, rel, cam, d_candi, pad, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

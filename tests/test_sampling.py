@@ -34,6 +34,34 @@ def test_quad_matches_taps(rng):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_quad_grads_match_taps(rng):
+    """Coord- and image-gradients of the quad path == the taps path.
+
+    The LBA optimizer (pose/lba.py) differentiates the photometric loss
+    through the quad gather; this locks the VJP, not just the forward.
+    Interior coords only — at exact integer/border coords the bilinear
+    weight derivative is subgradient territory for both paths.
+    """
+    import jax
+
+    H, W, C = 11, 15, 3
+    img = rng.randn(H, W, C).astype(np.float32)
+    coords = rng.uniform(1.2, 9.3, size=(300, 2)).astype(np.float32)
+    coords += 0.13  # keep away from integer lattice points
+
+    def loss(method, im, co):
+        out = grid_sample_2d(im, co, "zeros", method=method)
+        return jnp.sum(jnp.sin(out))
+
+    for argnum, label in ((0, "img"), (1, "coords")):
+        g_taps = jax.grad(lambda im, co: loss(None, im, co), argnum)(
+            jnp.asarray(img), jnp.asarray(coords))
+        g_quad = jax.grad(lambda im, co: loss("quad", im, co), argnum)(
+            jnp.asarray(img), jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(g_quad), np.asarray(g_taps),
+                                   atol=2e-5, err_msg=label)
+
+
 def test_fast_matches_taps_far_out_of_range(rng):
     """Far-out-of-frustum coords (|g| >> 1) through both gather paths."""
     H, W, C = 9, 11, 4

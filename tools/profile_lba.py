@@ -64,13 +64,17 @@ timed("lba_run 1-scale(quarter) x 20 it",
       lambda: run1c(img_ref, imgs_src, dmap, conf, inits))
 
 # ---- sampler variants on the full 3-scale program ----
+# (the production default is 'quad' — pose/lba.py passes it explicitly;
+# this overrides it to quantify the alternatives)
 import neuralrgbd_tpu.ops.sampling as sampling
 import neuralrgbd_tpu.ops.sweep as sweep
 
 orig = sampling.grid_sample_2d
-for meth in ("slice", "quad"):
-    sweep.grid_sample_2d = lambda img, c, padding="zeros", m=meth: orig(
-        img, c, padding=padding, method=m)
+for meth in ("taps", "slice"):
+    sweep.grid_sample_2d = (
+        lambda img, c, padding="zeros", m=meth, **kw: orig(
+            img, c, padding=padding,
+            method=(None if m == "taps" else m)))
     run_m = make_lba_program(cams, max_iter=20)
     try:
         timed(f"lba_run 3-scale x 20 it ({meth} gather)",
