@@ -139,11 +139,14 @@ def main(argv=None):
         """Depth + confidence regression for the LBA in ONE dispatch
         (test_KVNet_LBA.py:414-423); results stay on device — they feed
         straight into the jitted ``local_ba_direct``. The image-res (W=384)
-        resample stays on the XLA path: the banded Pallas kernel's lane
-        gather is single-vreg-only on this Mosaic (W <= 128 — see
-        ops/pallas/resample.py)."""
-        dpv_kf = resample_dpv(dpv_ref, jnp.linalg.inv(pose_next), cam_img,
-                              d_candi, padding_value=math.log(1.0 / D))
+        resample is too wide for the banded Pallas kernel (single-vreg lane
+        gather, ops/pallas/resample.py); on TPU it rides the oct-packed XLA
+        gather instead (measured 432 -> 146 ms/call, PERF.md round 3)."""
+        dpv_kf = resample_dpv(
+            dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
+            padding_value=math.log(1.0 / D),
+            gather_method=("oct" if jax.default_backend() == "tpu"
+                           else None))
         p_ref, p_kf = jnp.exp(dpv_ref), jnp.exp(dpv_kf)
         return (jnp.einsum("dhw,d->hw", p_ref, d_candi),
                 jnp.exp(jnp.max(dpv_ref, 0)) ** 2,

@@ -51,6 +51,9 @@ def predict_next(dpv: jax.Array, pose_next: jax.Array, cam: Camera,
         dpv, rel, cam, d_candi,
         padding_value=math.log(1.0 / D),
         clamp_to=(-1000.0, 0.0),
+        # wide dpvs on TPU: oct-packed rows cut the gather indices 8x
+        # (exact trilinear parity — tests/test_sampling.py)
+        gather_method=("oct" if jax.default_backend() == "tpu" else None),
     )
 
 

@@ -75,6 +75,7 @@ def resample_dpv(
     d_candi: jax.Array,    # (D,)
     padding_value: float,
     clamp_to: tuple = (-1000.0, 0.0),
+    gather_method: str | None = None,
 ) -> jax.Array:
     """Prediction step: resample the DPV into the next camera frustum.
 
@@ -117,7 +118,8 @@ def resample_dpv(
     )  # (D, HW, 3)
 
     vol = _set_vol_border(dpv, padding_value)
-    out = grid_sample_3d(vol, coords, padding="border").reshape(D, H, W)
+    out = grid_sample_3d(vol, coords, padding="border",
+                         method=gather_method).reshape(D, H, W)
     if clamp_to is not None:
         out = jnp.clip(out, clamp_to[0], clamp_to[1])
     return out

@@ -174,6 +174,7 @@ def grid_sample_3d(
     coords_xyz: jax.Array,
     padding: str = "border",
     fast: bool = False,
+    method: str | None = None,
 ) -> jax.Array:
     """Trilinear sample of ``vol`` (D, H, W) at pixel coords (..., 3) = (x, y, z).
 
@@ -183,10 +184,78 @@ def grid_sample_3d(
 
     ``fast=True`` gathers one (2,2,2) slice per output voxel — measured
     ~25x SLOWER on v5e than the 8-tap path (see grid_sample_2d note).
+    ``method='oct'`` packs all 8 trilinear taps into one gathered row
+    (border padding only) — 8x fewer gather indices, the win that makes
+    image-res / wide-W DPV resamples viable on v5e (PERF.md round 3).
     """
+    if method == "oct":
+        return _grid_sample_3d_oct(vol, coords_xyz, padding)
     if fast:
         return _grid_sample_3d_slice(vol, coords_xyz, padding)
     return _grid_sample_3d_taps(vol, coords_xyz, padding)
+
+
+def _grid_sample_3d_oct(vol, coords_xyz, padding="border"):
+    """One gather per output voxel: the 8 trilinear taps ride one row of a
+    (D*H*W, 8) 'oct' volume built from edge-padded shifted copies.
+
+    TPU gathers are index-throughput-bound (row bytes are nearly free up to
+    ~128 floats — PERF.md), so packing taps 8-per-row cuts the gather cost
+    ~8x; the oct build is 8 cheap slices of one edge-padded copy.
+
+    Border padding only (the DPV-resample case), where clamping has a
+    closed form: the oct row at the CLAMPED base (z0c, y0c, x0c) holds
+    vol[min(base+offset, dim-1)] per axis, which already equals every
+    clamped upper tap; lower out-of-range taps (z0+1 <= 0) collapse onto
+    the base voxel, i.e. that axis's '+1' weight moves to the base —
+    implemented by zeroing the fractional weight there. Exact vs the
+    8-tap path (tests/test_sampling.py::test_oct_matches_taps_3d).
+    """
+    if padding != "border":
+        raise ValueError("oct path supports border padding only")
+    D, H, W = vol.shape
+    out_shape = coords_xyz.shape[:-1]
+    x = coords_xyz[..., 0].reshape(-1)
+    y = coords_xyz[..., 1].reshape(-1)
+    z = coords_xyz[..., 2].reshape(-1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    wx = x - x0
+    wy = y - y0
+    wz = z - z0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    # lower-clamped '+1' taps read the same (border) voxel as the base:
+    # fold their weight into the base column
+    wx = jnp.where(x0i + 1 <= 0, 0.0, wx)
+    wy = jnp.where(y0i + 1 <= 0, 0.0, wy)
+    wz = jnp.where(z0i + 1 <= 0, 0.0, wz)
+
+    vp = jnp.pad(vol, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    oct_cols = [vp[dz:dz + D, dy:dy + H, dx:dx + W]
+                for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    oct = jnp.stack(oct_cols, axis=-1).reshape(D * H * W, 8)
+
+    x0c = jnp.clip(x0i, 0, W - 1)
+    y0c = jnp.clip(y0i, 0, H - 1)
+    z0c = jnp.clip(z0i, 0, D - 1)
+    rows = jnp.take(oct, (z0c * H + y0c) * W + x0c, axis=0)   # (N, 8)
+
+    out = (
+        rows[:, 0] * (1 - wz) * (1 - wy) * (1 - wx)
+        + rows[:, 1] * (1 - wz) * (1 - wy) * wx
+        + rows[:, 2] * (1 - wz) * wy * (1 - wx)
+        + rows[:, 3] * (1 - wz) * wy * wx
+        + rows[:, 4] * wz * (1 - wy) * (1 - wx)
+        + rows[:, 5] * wz * (1 - wy) * wx
+        + rows[:, 6] * wz * wy * (1 - wx)
+        + rows[:, 7] * wz * wy * wx
+    )
+    return out.reshape(out_shape)
 
 
 def _grid_sample_3d_slice(vol, coords_xyz, padding="border"):

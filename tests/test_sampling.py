@@ -159,3 +159,49 @@ def test_grid_sample_2d_gradients_flow(rng):
     assert np.isfinite(np.asarray(g_img)).all()
     assert np.isfinite(np.asarray(g_crd)).all()
     assert np.abs(np.asarray(g_crd)).sum() > 0
+
+
+def test_oct_matches_taps_3d(rng):
+    """The oct-packed 3-D gather == the 8-tap path, border padding,
+    including far-out-of-range coords (the DPV resample clips to
+    [-2, dim+1] — cover beyond that too)."""
+    from neuralrgbd_tpu.ops.sampling import grid_sample_3d
+
+    D, H, W = 9, 13, 17
+    vol = rng.randn(D, H, W).astype(np.float32)
+    coords = np.stack([rng.uniform(-4, W + 4, 700),
+                       rng.uniform(-4, H + 4, 700),
+                       rng.uniform(-4, D + 4, 700)], -1).astype(np.float32)
+    a = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
+                                  "border", method="oct"))
+    b = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
+                                  "border"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_resample_dpv_oct_matches_default():
+    """resample_dpv(gather_method='oct') == the default path at a
+    realistic relative pose (the lba_maps / wide-predict_next fast path)."""
+    import math
+
+    import jax
+
+    from neuralrgbd_tpu.ops.camera import camera_from_K
+    from neuralrgbd_tpu.ops.dpv import resample_dpv
+    from neuralrgbd_tpu.ops.rotations import unitq_to_rotation
+
+    rng = np.random.RandomState(7)
+    D, H, W = 16, 24, 36
+    K = np.array([[W / 1.2, 0, W / 2], [0, H / 1.1, H / 2], [0, 0, 1]],
+                 np.float32)
+    cam = camera_from_K(K)
+    d_candi = jnp.linspace(0.4, 4.0, D)
+    dpv = jnp.log(jax.nn.softmax(
+        jnp.asarray(rng.randn(D, H, W).astype(np.float32)), 0))
+    R = unitq_to_rotation(jnp.asarray([1.0, 0.02, -0.01]))
+    rel = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(
+        jnp.asarray([0.05, -0.03, 0.08]))
+    pad = float(math.log(1.0 / D))
+    ref = resample_dpv(dpv, rel, cam, d_candi, pad)
+    got = resample_dpv(dpv, rel, cam, d_candi, pad, gather_method="oct")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
