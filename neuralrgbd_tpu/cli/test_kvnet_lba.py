@@ -140,13 +140,20 @@ def main(argv=None):
         (test_KVNet_LBA.py:414-423); results stay on device — they feed
         straight into the jitted ``local_ba_direct``. The image-res (W=384)
         resample is too wide for the banded Pallas kernel (single-vreg lane
-        gather, ops/pallas/resample.py); on TPU it rides the oct-packed XLA
-        gather instead (measured 432 -> 146 ms/call, PERF.md round 3)."""
-        dpv_kf = resample_dpv(
-            dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
-            padding_value=math.log(1.0 / D),
-            gather_method=("oct" if jax.default_backend() == "tpu"
-                           else None))
+        gather, ops/pallas/resample.py); on TPU it rides the tiled MXU
+        kernel with an in-jit oct-gather fallback for extreme motion
+        (ops/pallas/resample_tiled.py; XLA 432 -> oct 146 -> tiled ~X ms,
+        PERF.md round 3)."""
+        if jax.default_backend() == "tpu":
+            from neuralrgbd_tpu.ops.pallas.resample_tiled import (
+                resample_dpv_wide)
+            dpv_kf = resample_dpv_wide(
+                dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
+                padding_value=math.log(1.0 / D))
+        else:
+            dpv_kf = resample_dpv(
+                dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
+                padding_value=math.log(1.0 / D))
         p_ref, p_kf = jnp.exp(dpv_ref), jnp.exp(dpv_kf)
         return (jnp.einsum("dhw,d->hw", p_ref, d_candi),
                 jnp.exp(jnp.max(dpv_ref, 0)) ** 2,

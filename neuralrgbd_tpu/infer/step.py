@@ -37,12 +37,22 @@ def predict_next(dpv: jax.Array, pose_next: jax.Array, cam: Camera,
     D = dpv.shape[0]
     rel = jnp.linalg.inv(pose_next)
     if jax.default_backend() == "tpu" and dpv.shape[2] <= 128:
-        # W > 128 spans multiple lane tiles; Mosaic's dynamic_gather is
-        # single-source-vreg-only, so wide dpvs (KITTI no-crop, W=192)
-        # stay on the XLA oracle (ops/pallas/resample.py docstring).
         from neuralrgbd_tpu.ops.pallas.resample import resample_dpv_pallas
 
         return resample_dpv_pallas(
+            dpv, rel, cam, d_candi,
+            padding_value=math.log(1.0 / D),
+            clamp_to=(-1000.0, 0.0),
+        )
+    if jax.default_backend() == "tpu":
+        # W > 128 spans multiple lane tiles (Mosaic's dynamic_gather is
+        # single-source-vreg-only): KITTI no-crop (W=192) and image-res
+        # dpvs ride the tiled MXU kernel, whose in-jit fallback for
+        # extreme motion is the oct-packed XLA gather (both exact).
+        from neuralrgbd_tpu.ops.pallas.resample_tiled import (
+            resample_dpv_wide)
+
+        return resample_dpv_wide(
             dpv, rel, cam, d_candi,
             padding_value=math.log(1.0 / D),
             clamp_to=(-1000.0, 0.0),
@@ -51,9 +61,6 @@ def predict_next(dpv: jax.Array, pose_next: jax.Array, cam: Camera,
         dpv, rel, cam, d_candi,
         padding_value=math.log(1.0 / D),
         clamp_to=(-1000.0, 0.0),
-        # wide dpvs on TPU: oct-packed rows cut the gather indices 8x
-        # (exact trilinear parity — tests/test_sampling.py)
-        gather_method=("oct" if jax.default_backend() == "tpu" else None),
     )
 
 

@@ -113,6 +113,33 @@ def _resample_kernel(vol_ref, cx_ref, cy_ref, cz_ref, out_ref, *, D, H, W,
     jax.lax.fori_loop(0, H, row_body, 0)
 
 
+def resample_pixel_coords(cam: Camera, rel_Rt: jax.Array,
+                          d_candi: jax.Array, H: int, W: int):
+    """Pixel-space (cx, cy, cz), each (D, HW), of the DPV resample — the
+    shared coordinate formula of ``ops.dpv.resample_dpv`` (reference:
+    resample_vol_cuda, homography.py:673-705). Coords are clipped to
+    [-2, dim+1] to keep int32 tap math sane for far-out-of-frustum points
+    (border padding clamps them to the volume edge anyway)."""
+    D = d_candi.shape[0]
+    rays = unit_rays(cam, H, W)                       # (3, HW)
+    pts = rays[None, :, :] * d_candi.reshape(-1, 1, 1)
+    R = rel_Rt[:3, :3]
+    t = rel_Rt[:3, 3]
+    p = jnp.einsum("ij,djn->din", R, pts) + t.reshape(1, 3, 1)
+    z = p[:, 2, :] + 1e-10
+    z_max = jnp.max(d_candi)
+    z_min = jnp.min(d_candi)
+    z_mid = (z_max + z_min) * 0.5
+    z_rad = (z_max - z_min) * 0.5
+    gx = p[:, 0, :] / z / cam.tan_half_hfov
+    gy = p[:, 1, :] / z / cam.tan_half_vfov
+    gz = (p[:, 2, :] - z_mid) / z_rad
+    cx = jnp.clip(normalized_to_pixel(gx, W), -2.0, W + 1.0)
+    cy = jnp.clip(normalized_to_pixel(gy, H), -2.0, H + 1.0)
+    cz = jnp.clip(normalized_to_pixel(gz, D), -2.0, D + 1.0)
+    return cx, cy, cz
+
+
 def resample_dpv_pallas(
     dpv: jax.Array,        # (D, H, W) log-DPV
     rel_Rt: jax.Array,     # (4, 4) extrinsic next-view -> current-view
@@ -131,31 +158,13 @@ def resample_dpv_pallas(
     if WP > 128 and not interpret:
         # Mosaic's tpu.dynamic_gather reads from ONE source vreg: the
         # per-lane x-tap gather cannot span >128 lanes on hardware yet.
-        # Callers (infer.step.predict_next, cli.test_kvnet_lba.lba_maps)
-        # gate on W <= 128 and fall back to ops.dpv.resample_dpv.
+        # Wide shapes ride ops.pallas.resample_tiled (MXU selection
+        # matmuls) or the oct XLA gather (ops.sampling) instead.
         raise ValueError("resample_dpv_pallas requires W <= 128 on "
                          "hardware (multi-vreg lane gather unsupported); "
-                         "use ops.dpv.resample_dpv")
+                         "use resample_dpv_tiled or ops.dpv.resample_dpv")
 
-    # ---- coordinates (cheap, stays in XLA) ----
-    rays = unit_rays(cam, H, W)                       # (3, HW)
-    pts = rays[None, :, :] * d_candi.reshape(-1, 1, 1)
-    R = rel_Rt[:3, :3]
-    t = rel_Rt[:3, 3]
-    p = jnp.einsum("ij,djn->din", R, pts) + t.reshape(1, 3, 1)
-    z = p[:, 2, :] + 1e-10
-    z_max = jnp.max(d_candi)
-    z_min = jnp.min(d_candi)
-    z_mid = (z_max + z_min) * 0.5
-    z_rad = (z_max - z_min) * 0.5
-    gx = p[:, 0, :] / z / cam.tan_half_hfov
-    gy = p[:, 1, :] / z / cam.tan_half_vfov
-    gz = (p[:, 2, :] - z_mid) / z_rad
-    # clip to keep int32 tap math sane for far-out-of-frustum points
-    # (border padding clamps them to the volume edge anyway)
-    cx = jnp.clip(normalized_to_pixel(gx, W), -2.0, W + 1.0)
-    cy = jnp.clip(normalized_to_pixel(gy, H), -2.0, H + 1.0)
-    cz = jnp.clip(normalized_to_pixel(gz, D), -2.0, D + 1.0)
+    cx, cy, cz = resample_pixel_coords(cam, rel_Rt, d_candi, H, W)
 
     def pad_w(a):
         # edge-replicate: padded lanes must not perturb the per-row band min

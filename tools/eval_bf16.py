@@ -20,6 +20,10 @@ p = argparse.ArgumentParser()
 p.add_argument("--save_dir", type=str, default="/tmp/campaign_ckpt")
 p.add_argument("--scenes", type=int, nargs="*", default=[5],
                help="scene indices to evaluate (5 = campaign holdout)")
+p.add_argument("--kind", type=str, default="plane",
+               help="'mixed' + --n_scenes 26 --scenes 24 25 evaluates the"
+                    " round-3 wide-campaign holdouts")
+p.add_argument("--n_scenes", type=int, default=6)
 args = p.parse_args()
 
 from neuralrgbd_tpu.config import ModelConfig, TrainConfig
@@ -32,9 +36,12 @@ from neuralrgbd_tpu.utils.checkpoint import (latest_checkpoint,
                                              restore_checkpoint)
 
 cfg32 = ModelConfig()
-root = os.path.join(tempfile.gettempdir(), "campaign_scenes_6x24_384")
-make_traj, _ = synthetic_dataset(cfg32, img_size_wh=(384, 256), n_scenes=6,
-                                 n_frames=24, root=root)
+prefix = "campaign_scenes" if args.kind == "plane" else     f"campaign_{args.kind}_scenes"
+root = os.path.join(tempfile.gettempdir(),
+                    f"{prefix}_{args.n_scenes}x24_384")
+make_traj, _ = synthetic_dataset(cfg32, img_size_wh=(384, 256),
+                                 n_scenes=args.n_scenes, n_frames=24,
+                                 root=root, kind=args.kind)
 
 sample, _, _ = window_batch(make_traj(0), cfg32.t_win_r, cfg32.t_win_r,
                             with_labels=True)
