@@ -74,7 +74,8 @@ class InferStepOutput(NamedTuple):
 
 def make_infer_step(cfg: ModelConfig, jit: bool = True,
                     fast_sweep: bool | None = None, sweep_band: int = 8,
-                    fast_knet: bool | None = None):
+                    fast_knet: bool | None = None,
+                    paired_knet: bool | None = None):
     """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
 
     ``jit=False`` returns the raw traceable function (the parallel layer
@@ -110,9 +111,14 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
     # (PERF.md round-3 "K-Net conv attempt #2"). Kept as a tested opt-in.
     if fast_knet is None:
         fast_knet = False
+    # paired_knet default ON on TPU: pure-XLA lane packing, exact conv
+    # semantics, 19.2 -> 14.0 ms at the operating point (PERF.md round-3
+    # "Paired-lane K-Net").
+    if paired_knet is None:
+        paired_knet = jax.default_backend() == "tpu"
     model = KVNet(cfg=cfg, single_refine=True,
                   fast_sweep=fast_sweep, sweep_band=sweep_band,
-                  fast_knet=fast_knet)
+                  fast_knet=fast_knet, paired_knet=paired_knet)
 
     def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
         cam = Camera(K=K)

@@ -70,6 +70,12 @@ class KVNet(nn.Module):
     # dots, BN batch-stats reduced in-kernel). Same bf16 numeric class as
     # the bf16 XLA convs. Training keeps the XLA K-Net (differentiable).
     fast_knet: bool = False
+    # Run the K-Net on the paired-lane layout (models/knet_paired.py): two
+    # adjacent pixels per 128-lane channel row, structured-sparse packed
+    # kernels — exact conv semantics (summation order only), pure XLA
+    # (epilogue fusion intact, differentiable), 19.2 -> 14.0 ms measured on
+    # v5e (C=64 convs run the MXU half-empty; C=128 runs 2.67x faster).
+    paired_knet: bool = False
 
     @nn.compact
     def __call__(
@@ -204,12 +210,21 @@ class KVNet(nn.Module):
             )  # (D, h, w, 3V+4) == kvnet_in_vol channel order, KVNET.py:166
             use_fast_knet = (self.fast_knet and cfg.kv_feature_dim == 64
                              and not self.is_initializing())
+            use_paired_knet = (self.paired_knet and w % 2 == 0
+                               and not self.is_initializing()
+                               and not use_fast_knet)
             if use_fast_knet:
                 from neuralrgbd_tpu.ops.pallas.conv3d_pair import (
                     knet_fast_apply)
 
                 gain = knet_fast_apply(
                     self.variables["params"]["kv_net"], vol)
+            elif use_paired_knet:
+                from neuralrgbd_tpu.models.knet_paired import (
+                    knet_paired_apply)
+
+                gain = knet_paired_apply(
+                    self.variables["params"]["kv_net"], vol, dtype=dtype)
             else:
                 gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
                             name="kv_net")(vol[None])[0]  # (D, h, w)
