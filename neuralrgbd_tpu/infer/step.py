@@ -75,7 +75,8 @@ class InferStepOutput(NamedTuple):
 def make_infer_step(cfg: ModelConfig, jit: bool = True,
                     fast_sweep: bool | None = None, sweep_band: int = 8,
                     fast_knet: bool | None = None,
-                    paired_knet: bool | None = None):
+                    paired_knet: bool | None = None,
+                    packed_fe: bool | None = None):
     """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
 
     ``jit=False`` returns the raw traceable function (the parallel layer
@@ -113,12 +114,18 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
         fast_knet = False
     # paired_knet default ON on TPU: pure-XLA lane packing, exact conv
     # semantics, 19.2 -> 14.0 ms at the operating point (PERF.md round-3
-    # "Paired-lane K-Net").
+    # "Paired-lane K-Net"). packed_fe is the same trick on the PSM
+    # backbone's 32/64-channel stages — isolated FE win (5.03 -> 3.08 ms)
+    # but an in-model NEGATIVE (full step 22.9 -> 27.8 ms, PERF.md
+    # "Packed-lane FE"), so it stays an opt-in, default OFF.
     if paired_knet is None:
         paired_knet = jax.default_backend() == "tpu"
+    if packed_fe is None:
+        packed_fe = False
     model = KVNet(cfg=cfg, single_refine=True,
                   fast_sweep=fast_sweep, sweep_band=sweep_band,
-                  fast_knet=fast_knet, paired_knet=paired_knet)
+                  fast_knet=fast_knet, paired_knet=paired_knet,
+                  packed_fe=packed_fe)
 
     def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
         cam = Camera(K=K)

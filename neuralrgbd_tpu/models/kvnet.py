@@ -76,6 +76,9 @@ class KVNet(nn.Module):
     # (epilogue fusion intact, differentiable), 19.2 -> 14.0 ms measured on
     # v5e (C=64 convs run the MXU half-empty; C=128 runs 2.67x faster).
     paired_knet: bool = False
+    # Same lane packing for the feature extractor (models/fe_packed.py):
+    # the 32-channel stage runs x4-packed, the 64-channel stage x2-packed.
+    packed_fe: bool = False
 
     @nn.compact
     def __call__(
@@ -95,10 +98,19 @@ class KVNet(nn.Module):
         # ---- D-Net: features for all V+1 frames in one batch ----
         # (basic.py:245-252 — BN uses the joint batch statistics)
         frames = jnp.concatenate([src_frames, ref_frame[None]], axis=0)
-        layer1, feat = FeatureExtractor(
-            feature_dim=cfg.feature_dim, multi_scale=True, dtype=dtype,
-            name="feature_extractor",
-        )(frames)
+        use_packed_fe = (self.packed_fe and W % 8 == 0
+                         and not self.is_initializing())
+        if use_packed_fe:
+            from neuralrgbd_tpu.models.fe_packed import fe_packed_apply
+
+            layer1, feat = fe_packed_apply(
+                self.variables["params"]["feature_extractor"], frames,
+                feature_dim=cfg.feature_dim, dtype=dtype)
+        else:
+            layer1, feat = FeatureExtractor(
+                feature_dim=cfg.feature_dim, multi_scale=True, dtype=dtype,
+                name="feature_extractor",
+            )(frames)
         feat_ref = feat[-1]          # (h, w, F)
         feat_srcs = feat[:-1]        # (V, h, w, F)
         layer1_ref = layer1[-1]      # (H/2, W/2, 32)
