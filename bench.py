@@ -63,8 +63,11 @@ def main():
     else:
         fast_sweep, sweep_band = None, 8
 
+    # BENCH_CACHE_FE=1 measures the cached-feature rollout (per-frame BN
+    # deviation, PERF.md "Cached-feature rollout")
+    cache_fe = bool(int(os.environ.get("BENCH_CACHE_FE", "0")))
     rollout = make_rollout(cfg, jit=False, fast_sweep=fast_sweep,
-                           sweep_band=sweep_band)
+                           sweep_band=sweep_band, cache_features=cache_fe)
 
     @jax.jit
     def run(params, frames, bvp, valid):

@@ -18,16 +18,35 @@ from neuralrgbd_tpu.infer.step import make_infer_step
 
 
 def make_rollout(cfg: ModelConfig, jit: bool = True,
-                 fast_sweep: bool | None = None, sweep_band: int = 8):
+                 fast_sweep: bool | None = None, sweep_band: int = 8,
+                 cache_features: bool = False):
     """Returns ``rollout(params, frames_batch, bv_predict0, bv_valid0)``.
 
     frames_batch: pytree with a leading time axis T over the per-step batch
     arrays (ref (T,N,H,W,3), srcs (T,N,V,H,W,3), poses, K, pose_next).
     Returns (depth (T,N,H,W), conf (T,N,H,W), final bv_predict).
     ``fast_sweep``/``sweep_band``: see ``make_infer_step``.
+
+    ``cache_features=True``: consecutive sliding windows share V of their
+    V+1 frames (window_indices, trajectory.py:173-179), so each scan step
+    featurizes ONLY the newly entering frame (``srcs[:, -1]``) and carries
+    the other V frames' feature maps. DEVIATION from the reference's
+    semantics (basic.py:245-252 featurizes the window jointly, so BN batch
+    statistics span the V+1 frames): here BN statistics are per-frame
+    (B=1), making a frame's features window-independent — the property
+    that makes caching coherent. Accuracy on trained weights: PERF.md
+    "Cached-feature rollout". Requires the contiguous step=1 window
+    layout ([t-2, t-1, t+1, t+2] around ref t).
     """
     step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
-                           sweep_band=sweep_band)
+                           sweep_band=sweep_band,
+                           with_features=cache_features)
+
+    if cache_features:
+        rollout = _make_cached_rollout(cfg, step)
+        if jit:
+            return jax.jit(rollout, donate_argnums=(2,))
+        return rollout
 
     def rollout(params, frames_batch, bv_predict0, bv_valid0):
         def body(carry, frame):
@@ -43,4 +62,57 @@ def make_rollout(cfg: ModelConfig, jit: bool = True,
 
     if jit:
         return jax.jit(rollout, donate_argnums=(2,))
+    return rollout
+
+
+def _make_cached_rollout(cfg: ModelConfig, step):
+    """Scan body featurizing one new frame per step (see make_rollout)."""
+    import dataclasses
+
+    from neuralrgbd_tpu.models.feature_extractor import FeatureExtractor
+
+    if cfg.infer_dtype and jax.default_backend() == "tpu":
+        cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
+    fe = FeatureExtractor(feature_dim=cfg.feature_dim, multi_scale=True,
+                          dtype=jnp.dtype(cfg.dtype))
+
+    def fe1(params, frame):
+        """Single-frame features, per-frame BN statistics. (H,W,3) ->
+        ((H/2,W/2,32), (h,w,F))."""
+        l1, f = fe.apply(
+            {"params": params["params"]["feature_extractor"]}, frame[None])
+        return l1[0], f[0]
+
+    fe_n = jax.vmap(fe1, in_axes=(None, 0))          # over lanes
+    fe_nm = jax.vmap(fe_n, in_axes=(None, 1), out_axes=1)  # over frames
+
+    def rollout(params, frames_batch, bv_predict0, bv_valid0):
+        ref0 = jax.tree.map(lambda x: x[0], frames_batch)
+        # window 0 in temporal order: [t-2, t-1, t(ref), t+1]; the body
+        # featurizes the remaining t+2 (srcs[:, -1]) like every later step.
+        seq0 = jnp.stack(
+            [ref0["srcs"][:, 0], ref0["srcs"][:, 1], ref0["ref"],
+             ref0["srcs"][:, 2]], axis=1)             # (N, 4, H, W, 3)
+        l1c, fc = fe_nm(params, seq0)                 # (N,4,...) caches
+
+        def body(carry, frame):
+            bv_pred, bv_valid, l1c, fc = carry
+            l1_new, f_new = fe_n(params, frame["srcs"][:, -1])
+            l1full = jnp.concatenate([l1c, l1_new[:, None]], axis=1)
+            ffull = jnp.concatenate([fc, f_new[:, None]], axis=1)
+            # temporal [t-2,t-1,t,t+1,t+2] -> model's [srcs..., ref] order
+            order = jnp.array([0, 1, 3, 4, 2])
+            feats = (jnp.take(l1full, order, axis=1),
+                     jnp.take(ffull, order, axis=1))
+            out = step(params, frame, bv_pred, bv_valid, feats)
+            next_valid = jnp.ones_like(bv_valid)
+            return ((out.bv_predict, next_valid,
+                     l1full[:, 1:], ffull[:, 1:]),
+                    (out.depth, out.confidence))
+
+        (bv_final, _, _, _), (depths, confs) = jax.lax.scan(
+            body, (bv_predict0, bv_valid0, l1c, fc), frames_batch
+        )
+        return depths, confs, bv_final
+
     return rollout

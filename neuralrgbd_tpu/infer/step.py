@@ -76,8 +76,15 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
                     fast_sweep: bool | None = None, sweep_band: int = 8,
                     fast_knet: bool | None = None,
                     paired_knet: bool | None = None,
-                    packed_fe: bool | None = None):
+                    packed_fe: bool | None = None,
+                    with_features: bool = False):
     """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
+
+    ``with_features=True`` returns instead
+    ``infer_step(params, batch, bv_predict, bv_valid, feats)`` where
+    ``feats = (layer1 (N,V+1,H/2,W/2,32), feat (N,V+1,h,w,F))`` in
+    [srcs..., ref] order replaces the in-model feature extractor (the
+    cached-feature rollout computes features once per frame).
 
     ``jit=False`` returns the raw traceable function (the parallel layer
     re-jits it with explicit mesh shardings).
@@ -127,11 +134,13 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
                   fast_knet=fast_knet, paired_knet=paired_knet,
                   packed_fe=packed_fe)
 
-    def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid):
+    def one_lane(params, ref, srcs, poses, K, pose_next, bv_predict, bv_valid,
+                 precomputed=None):
         cam = Camera(K=K)
         d_candi = jnp.asarray(cfg.d_candi)
         out: KVNetOutput = model.apply(
-            params, ref, srcs, poses, cam, d_candi, bv_predict, bv_valid
+            params, ref, srcs, poses, cam, d_candi, bv_predict, bv_valid,
+            precomputed=precomputed,
         )
         bv_next = predict_next(out.dpv, pose_next, cam, d_candi)
         if cfg.refine_net == "DGF":
@@ -156,6 +165,20 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
             depth = jnp.einsum("dhw,d->hw", p, d_candi_r)
             conf = jnp.max(p, axis=0)
         return out.dpv, out.dpv_refined, bv_next, depth, conf
+
+    if with_features:
+        def infer_step_f(params, batch, bv_predict, bv_valid,
+                         feats) -> InferStepOutput:
+            outs = jax.vmap(one_lane,
+                            in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
+                params, batch["ref"], batch["srcs"], batch["poses"],
+                batch["K"], batch["pose_next"], bv_predict, bv_valid, feats,
+            )
+            return InferStepOutput(*outs)
+
+        if jit:
+            return jax.jit(infer_step_f, donate_argnums=(2,))
+        return infer_step_f
 
     def infer_step(params, batch, bv_predict, bv_valid) -> InferStepOutput:
         outs = jax.vmap(one_lane, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(

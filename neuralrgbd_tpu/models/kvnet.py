@@ -90,6 +90,11 @@ class KVNet(nn.Module):
         d_candi: jax.Array,      # (D,)
         bv_predict: jax.Array,   # (D, h, w) log-DPV prediction (uniform if invalid)
         bv_valid: jax.Array,     # () bool — is bv_predict usable?
+        precomputed=None,        # optional (layer1 (V+1,H/2,W/2,32),
+                                 #           feat (V+1,h,w,F)) in
+                                 # [srcs..., ref] order — skips the FE
+                                 # (cached-feature rollout, per-frame BN
+                                 # stats; see infer/rollout.make_rollout)
     ) -> KVNetOutput:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
@@ -100,7 +105,9 @@ class KVNet(nn.Module):
         frames = jnp.concatenate([src_frames, ref_frame[None]], axis=0)
         use_packed_fe = (self.packed_fe and W % 8 == 0
                          and not self.is_initializing())
-        if use_packed_fe:
+        if precomputed is not None and not self.is_initializing():
+            layer1, feat = precomputed
+        elif use_packed_fe:
             from neuralrgbd_tpu.models.fe_packed import fe_packed_apply
 
             layer1, feat = fe_packed_apply(
