@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi_device", action="store_true",
                    help="run the listed --traj_idx trajectories in lockstep, "
                         "one per device (data mesh)")
+    p.add_argument("--chunk_t", type=int, default=32,
+                   help="frames scanned per device dispatch (1 = per-frame "
+                        "stepping)")
+    p.add_argument("--cache_features", action="store_true",
+                   help="featurize each unique frame once (per-frame BN "
+                        "statistics; accuracy-gated deviation, PERF.md "
+                        "'Cached-feature rollout')")
     return p
 
 
@@ -101,16 +108,20 @@ def main(argv=None):
         trajs = [get_traj(i) for i in args.traj_idx]
         res_dirs = [os.path.join(args.res_dir, f"{args.exp_name}_{i}")
                     for i in args.traj_idx]
-        counts = run_trajectories_parallel(params, cfg, trajs, res_dirs)
+        counts = run_trajectories_parallel(
+            params, cfg, trajs, res_dirs, chunk_t=max(1, args.chunk_t),
+            cache_features=args.cache_features)
         for i, n in zip(args.traj_idx, counts):
             print(f"trajectory {i}: exported {n} frames")
         return
 
-    infer_step = make_infer_step(cfg)
+    infer_step = make_infer_step(cfg) if args.chunk_t == 1 else None
     for traj_idx in args.traj_idx:
         traj = get_traj(traj_idx)
         res_dir = os.path.join(args.res_dir, f"{args.exp_name}_{traj_idx}")
-        n = run_trajectory(params, cfg, traj, res_dir, infer_step=infer_step)
+        n = run_trajectory(params, cfg, traj, res_dir, infer_step=infer_step,
+                           chunk_t=args.chunk_t,
+                           cache_features=args.cache_features)
         print(f"trajectory {traj_idx}: exported {n} frames to {res_dir}")
 
 

@@ -153,7 +153,8 @@ def plan_sweep(traj: Trajectory, cfg: ModelConfig, t_win_r: int, step: int,
 
 
 def _chunk_runner(cfg: ModelConfig, chunk_t: int,
-                  fast_sweep: bool | None = None, sweep_band: int = 8):
+                  fast_sweep: bool | None = None, sweep_band: int = 8,
+                  cache_features: bool = False):
     """Jitted T-frame scan with IN-JIT window assembly.
 
     On this environment's tunneled TPU every op/dispatch call costs ~2-5 ms
@@ -164,10 +165,15 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int,
     and ImageNet-normalized inside the jit. Emits uint16-quantized maps (the
     pgm contract) plus the carry of the LAST REAL step (padded tail chunks
     hand their carry forward correctly)."""
-    key = (repr(cfg), chunk_t, fast_sweep, sweep_band)
+    key = (repr(cfg), chunk_t, fast_sweep, sweep_band, cache_features)
     if key not in _CHUNK_RUNNERS:
         raw_step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
-                                   sweep_band=sweep_band)
+                                   sweep_band=sweep_band,
+                                   with_features=cache_features)
+        if cache_features:
+            from neuralrgbd_tpu.infer.step import make_frame_features
+
+            fe_all = jax.vmap(make_frame_features(cfg), in_axes=(None, 0))
 
         def chunk(params, frames_u8, ref_idx, src_idx, poses, K, pose_next,
                   bvp, valid, n_real):
@@ -176,6 +182,11 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int,
             mean = jnp.asarray(pp.IMAGENET_MEAN)
             std = jnp.asarray(pp.IMAGENET_STD)
             imgs = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            if cache_features:
+                # every unique frame featurized ONCE per chunk (per-frame
+                # BN statistics — PERF.md "Cached-feature rollout"); the
+                # scan gathers each window's maps by index
+                l1_all, f_all = fe_all(params, imgs)
 
             def body(carry, xs):
                 bvp, v = carry
@@ -187,7 +198,12 @@ def _chunk_runner(cfg: ModelConfig, chunk_t: int,
                     "K": K[None],
                     "pose_next": pnext[None],
                 }
-                out = raw_step(params, batch, bvp, v)
+                if cache_features:
+                    widx = jnp.concatenate([sidx, ridx[None]])
+                    out = raw_step(params, batch, bvp, v,
+                                   (l1_all[widx][None], f_all[widx][None]))
+                else:
+                    out = raw_step(params, batch, bvp, v)
                 return (out.bv_predict, jnp.ones_like(v)), (
                     _q16(out.depth[0]),
                     _q16(out.confidence[0]),
@@ -212,7 +228,8 @@ _PAR_CHUNK_RUNNERS: dict = {}
 def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
                            axis: str = "data",
                            fast_sweep: bool | None = None,
-                           sweep_band: int = 8):
+                           sweep_band: int = 8,
+                           cache_features: bool = False):
     """Sharded T-frame scan over the lane mesh with in-jit window assembly
     (the multi-lane counterpart of ``_chunk_runner``). Per-step lane
     validity rides in as an (T, N) mask: step t consumes step t-1's mask as
@@ -221,10 +238,17 @@ def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     key = (repr(cfg), tuple(d.id for d in mesh.devices.flat), chunk_t, axis,
-           fast_sweep, sweep_band)
+           fast_sweep, sweep_band, cache_features)
     if key not in _PAR_CHUNK_RUNNERS:
         raw_step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
-                                   sweep_band=sweep_band)
+                                   sweep_band=sweep_band,
+                                   with_features=cache_features)
+        if cache_features:
+            from neuralrgbd_tpu.infer.step import make_frame_features
+
+            fe_lanes = jax.vmap(
+                jax.vmap(make_frame_features(cfg), in_axes=(None, 0)),
+                in_axes=(None, 0))
         data = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
         tdata = NamedSharding(mesh, P(None, axis))
@@ -234,6 +258,8 @@ def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
             mean = jnp.asarray(pp.IMAGENET_MEAN)
             std = jnp.asarray(pp.IMAGENET_STD)
             imgs = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            if cache_features:
+                l1_all, f_all = fe_lanes(params, imgs)  # (N, F, ...)
 
             def body(carry, xs):
                 bvp, v = carry
@@ -245,7 +271,12 @@ def _parallel_chunk_runner(cfg: ModelConfig, mesh, chunk_t: int,
                     "K": K,
                     "pose_next": pnext,
                 }
-                out = raw_step(params, batch, bvp, v)
+                if cache_features:
+                    widx = jnp.concatenate([sidx, ridx[None]])
+                    out = raw_step(params, batch, bvp, v,
+                                   (l1_all[:, widx], f_all[:, widx]))
+                else:
+                    out = raw_step(params, batch, bvp, v)
                 return (out.bv_predict, okt), (
                     _q16(out.depth),
                     _q16(out.confidence),
@@ -330,7 +361,8 @@ def run_trajectory(
     step: int = 1,
     infer_step=None,
     verbose: bool = True,
-    chunk_t: int = 16,
+    chunk_t: int = 32,
+    cache_features: bool = False,
 ):
     """Returns the number of exported frames. Writes the full output
     contract (img/d/conf files + scene_path_info.txt) into ``res_dir``.
@@ -339,13 +371,18 @@ def run_trajectory(
     padded to keep one compiled shape; the carry is taken from the last
     real step). The relay fetch cost is fixed per chunk (~95 ms), so it
     amortizes linearly in ``chunk_t``. ``chunk_t=1`` restores per-frame
-    stepping via ``infer_step``."""
+    stepping via ``infer_step``.
+
+    ``cache_features``: featurize every unique frame once per chunk
+    instead of once per window it appears in (per-frame BN statistics —
+    the accuracy-gated deviation of PERF.md "Cached-feature rollout").
+    Requires ``chunk_t > 1``."""
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
     fast_sweep, sweep_band = plan_sweep(traj, cfg, t_win_r, step)
     if chunk_t > 1:
         return _run_trajectory_chunked(
             params, cfg, traj, res_dir, t_win_r, step, verbose, chunk_t,
-            fast_sweep, sweep_band)
+            fast_sweep, sweep_band, cache_features)
     infer_step = infer_step or make_infer_step(
         cfg, fast_sweep=fast_sweep, sweep_band=sweep_band)
     os.makedirs(res_dir, exist_ok=True)
@@ -473,11 +510,13 @@ def run_trajectory(
 
 
 def _run_trajectory_chunked(params, cfg, traj, res_dir, t_win_r, step,
-                            verbose, chunk_t, fast_sweep, sweep_band):
+                            verbose, chunk_t, fast_sweep, sweep_band,
+                            cache_features=False):
     """The production export path: chunked jitted scans with in-jit window
     assembly, process-pool decode, device-side quantization, and one
     stacked fetch per chunk (PERF.md "Host-loop export de-stall")."""
-    chunk_run = _chunk_runner(cfg, chunk_t, fast_sweep, sweep_band)
+    chunk_run = _chunk_runner(cfg, chunk_t, fast_sweep, sweep_band,
+                              cache_features)
     os.makedirs(res_dir, exist_ok=True)
 
     D = cfg.ndepth
@@ -608,6 +647,7 @@ def run_trajectories_parallel(
     step: int = 1,
     verbose: bool = True,
     chunk_t: int = 8,
+    cache_features: bool = False,
 ):
     """Data-parallel inference: one trajectory per mesh device, stepping in
     lockstep (the reference also ran its test model under DataParallel,
@@ -665,7 +705,8 @@ def run_trajectories_parallel(
     sweep_band = max(p[1] for p in plans)
     chunk_run = _parallel_chunk_runner(cfg, mesh, chunk_t,
                                        fast_sweep=fast_sweep,
-                                       sweep_band=sweep_band)
+                                       sweep_band=sweep_band,
+                                       cache_features=cache_features)
     win_off = np.array(window_indices(0, t_win_r, step), np.int32)
     n_frames_c = (chunk_t - 1) + 2 * t_win_r * step + 1
     Ks = np.stack([t.K_dpv for t in trajs]).astype(np.float32)

@@ -67,22 +67,9 @@ def make_rollout(cfg: ModelConfig, jit: bool = True,
 
 def _make_cached_rollout(cfg: ModelConfig, step):
     """Scan body featurizing one new frame per step (see make_rollout)."""
-    import dataclasses
+    from neuralrgbd_tpu.infer.step import make_frame_features
 
-    from neuralrgbd_tpu.models.feature_extractor import FeatureExtractor
-
-    if cfg.infer_dtype and jax.default_backend() == "tpu":
-        cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
-    fe = FeatureExtractor(feature_dim=cfg.feature_dim, multi_scale=True,
-                          dtype=jnp.dtype(cfg.dtype))
-
-    def fe1(params, frame):
-        """Single-frame features, per-frame BN statistics. (H,W,3) ->
-        ((H/2,W/2,32), (h,w,F))."""
-        l1, f = fe.apply(
-            {"params": params["params"]["feature_extractor"]}, frame[None])
-        return l1[0], f[0]
-
+    fe1 = make_frame_features(cfg)
     fe_n = jax.vmap(fe1, in_axes=(None, 0))          # over lanes
     fe_nm = jax.vmap(fe_n, in_axes=(None, 1), out_axes=1)  # over frames
 

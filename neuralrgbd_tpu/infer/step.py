@@ -64,6 +64,33 @@ def predict_next(dpv: jax.Array, pose_next: jax.Array, cam: Camera,
     )
 
 
+def make_frame_features(cfg: ModelConfig):
+    """Single-frame feature extractor with PER-FRAME BN statistics.
+
+    Returns ``fe1(params, frame (H,W,3)) -> (layer1 (H/2,W/2,32),
+    feat (h,w,F))`` where ``params`` is the full KVNet variables dict.
+    This is the window-independent featurization the cached-feature paths
+    reuse across overlapping windows (deviation from basic.py:245-252's
+    joint window statistics — see PERF.md "Cached-feature rollout").
+    Resolves ``cfg.infer_dtype`` exactly like ``make_infer_step``.
+    """
+    import dataclasses
+
+    from neuralrgbd_tpu.models.feature_extractor import FeatureExtractor
+
+    if cfg.infer_dtype and jax.default_backend() == "tpu":
+        cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
+    fe = FeatureExtractor(feature_dim=cfg.feature_dim, multi_scale=True,
+                          dtype=jnp.dtype(cfg.dtype))
+
+    def fe1(params, frame):
+        l1, f = fe.apply(
+            {"params": params["params"]["feature_extractor"]}, frame[None])
+        return l1[0], f[0]
+
+    return fe1
+
+
 class InferStepOutput(NamedTuple):
     dpv: jax.Array            # (N, D, h, w) fused posterior (low res)
     dpv_refined: jax.Array    # (N, D, H, W) refined DPV (image res)

@@ -158,3 +158,53 @@ def test_cli_invalid_pose_resets(scene_root, tmp_path_factory, tmp_path):
     # refs 2..6; only ref 6's window [4..8] touches the bad pose at 8,
     # so exactly 4 frames survive
     assert len(ds) == 4
+
+
+def test_chunked_loop_cached_features(scene_root, tmp_path):
+    """run_trajectory(cache_features=True): every unique frame featurized
+    once per chunk (per-frame BN statistics) must reproduce the stepwise
+    per-frame-BN oracle pgm-for-pgm — caching is pure reuse."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.config import ModelConfig, TrainConfig
+    from neuralrgbd_tpu.data.scannet import make_trajectory
+    from neuralrgbd_tpu.data.trajectory import window_batch
+    from neuralrgbd_tpu.infer.export import read_pgm
+    from neuralrgbd_tpu.infer.loop import run_trajectory
+    from neuralrgbd_tpu.infer.step import make_frame_features, make_infer_step
+    from neuralrgbd_tpu.train import create_train_state
+
+    cfg = ModelConfig(feature_dim=16, kv_feature_dim=16, ndepth=8,
+                      d_min=0.5, d_max=4.0)
+    traj = make_trajectory(0, 5, scene_root, img_size_wh=(96, 64),
+                           d_candi=cfg.d_candi)
+    sample, _, _ = window_batch(traj, 2, 2, with_labels=True)
+    state = create_train_state(cfg, TrainConfig(), sample)
+
+    d_cache = str(tmp_path / "cache")
+    n1 = run_trajectory(state.params, cfg, traj, d_cache, verbose=False,
+                        chunk_t=8, cache_features=True)
+    assert n1 == 5
+
+    fe1 = make_frame_features(cfg)
+    step = make_infer_step(cfg, with_features=True)
+    D = cfg.ndepth
+    w_dpv, h_dpv = traj.dpv_size_wh
+    bv = jnp.full((1, D, h_dpv, w_dpv), -np.log(D), jnp.float32)
+    valid = jnp.zeros((1,), bool)
+    for k, ref_indx in enumerate(range(2, 7)):
+        b, rec, ok = window_batch(traj, ref_indx, 2)
+        assert ok
+        sb = jax.tree.map(jnp.asarray, b)
+        window = list(sb["srcs"][0]) + [sb["ref"][0]]
+        l1s, fs = zip(*[fe1(state.params, fr) for fr in window])
+        feats = (jnp.stack(l1s)[None], jnp.stack(fs)[None])
+        out = step(state.params, sb, bv, valid, feats)
+        bv, valid = out.bv_predict, jnp.ones((1,), bool)
+        want_d = np.clip(np.asarray(out.depth[0]) * 1000.0, 0,
+                         65535).astype(np.uint16)
+        got_d = read_pgm(os.path.join(d_cache, f"d_{k:05d}.pgm"))
+        np.testing.assert_allclose(
+            got_d.astype(np.int64), want_d.astype(np.int64), atol=1,
+            err_msg=f"frame {k}: cached-feature chunk loop diverged")

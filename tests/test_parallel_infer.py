@@ -60,3 +60,40 @@ def test_run_trajectories_parallel(tmp_path):
         b = read_pgm(os.path.join(solo_dir, f"d_{i:05d}.pgm"))
         np.testing.assert_allclose(a.astype(np.int64), b.astype(np.int64),
                                    atol=1)  # uint16 mm, 1mm slop
+
+
+def test_run_trajectories_parallel_cached_features(tmp_path):
+    """Lockstep DP inference with per-chunk feature caching must match the
+    single-lane cached loop pgm-for-pgm (lane independence of the cached
+    path's double-vmap featurization)."""
+    from neuralrgbd_tpu.infer.export import read_pgm
+    from neuralrgbd_tpu.infer.loop import (run_trajectories_parallel,
+                                           run_trajectory)
+    from neuralrgbd_tpu.parallel import make_mesh
+    from neuralrgbd_tpu.train import create_train_state
+
+    rootA = str(tmp_path / "a")
+    rootB = str(tmp_path / "b")
+    write_scannet_scene(rootA, n_frames=10, seed=0)
+    write_scannet_scene(rootB, n_frames=8, seed=1)
+    trajs = [
+        make_trajectory(0, 5, rootA, img_size_wh=IMG_WH, d_candi=CFG.d_candi),
+        make_trajectory(0, 5, rootB, img_size_wh=IMG_WH, d_candi=CFG.d_candi),
+    ]
+    sample, _, _ = window_batch(trajs[0], 2, 2, with_labels=True)
+    state = create_train_state(CFG, TrainConfig(), sample)
+
+    res_dirs = [str(tmp_path / "res_a"), str(tmp_path / "res_b")]
+    counts = run_trajectories_parallel(
+        state.params, CFG, trajs, res_dirs, mesh=make_mesh(2),
+        verbose=False, cache_features=True)
+    assert counts == [5, 3]
+
+    solo_dir = str(tmp_path / "solo_a")
+    run_trajectory(state.params, CFG, trajs[0], solo_dir, verbose=False,
+                   cache_features=True)
+    for i in range(5):
+        a = read_pgm(os.path.join(res_dirs[0], f"d_{i:05d}.pgm"))
+        b = read_pgm(os.path.join(solo_dir, f"d_{i:05d}.pgm"))
+        np.testing.assert_allclose(a.astype(np.int64), b.astype(np.int64),
+                                   atol=1)

@@ -40,22 +40,29 @@ from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
 
 params = _init_or_load_params(cfg, _Args(), traj)
 
-for chunk_t in (8, 16, 32):
-    res = os.path.join(tempfile.gettempdir(), f"sweep_chunk_{chunk_t}")
+CONFIGS = [(8, False), (16, False), (32, False), (16, True), (32, True)]
+if os.environ.get("SWEEP_CONFIGS"):
+    CONFIGS = [(int(c.split(":")[0]), c.endswith(":c"))
+               for c in os.environ["SWEEP_CONFIGS"].split(",")]
+
+for chunk_t, cache_fe in CONFIGS:
+    tag = f"chunk_t={chunk_t} cache_fe={int(cache_fe)}"
+    res = os.path.join(tempfile.gettempdir(),
+                       f"sweep_chunk_{chunk_t}_{int(cache_fe)}")
     os.system(f"rm -rf {res} {res}_warm")
     t0 = time.time()
     n = run_trajectory(params, cfg, traj, res + "_warm", verbose=False,
-                       chunk_t=chunk_t)
-    print(f"chunk_t={chunk_t} pass1 (compile): {n} in {time.time()-t0:.1f}s",
+                       chunk_t=chunk_t, cache_features=cache_fe)
+    print(f"{tag} pass1 (compile): {n} in {time.time()-t0:.1f}s",
           flush=True)
     best = 0.0
-    for rep in range(2):
+    for rep in range(int(os.environ.get("SWEEP_REPS", "2"))):
         os.system(f"rm -rf {res}")
         t0 = time.time()
         n = run_trajectory(params, cfg, traj, res, verbose=False,
-                           chunk_t=chunk_t)
+                           chunk_t=chunk_t, cache_features=cache_fe)
         dt = time.time() - t0
         best = max(best, n / dt)
-        print(f"chunk_t={chunk_t} rep{rep}: {n} frames in {dt:.1f}s "
+        print(f"{tag} rep{rep}: {n} frames in {dt:.1f}s "
               f"= {n/dt:.2f} FPS", flush=True)
-    print(f"RESULT chunk_t={chunk_t} fps={best:.2f}", flush=True)
+    print(f"RESULT {tag} fps={best:.2f}", flush=True)

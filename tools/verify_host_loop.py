@@ -48,7 +48,7 @@ params = _init_or_load_params(cfg, _Args(), traj)
 res_dir = os.path.join(tempfile.gettempdir(), "verify_host_loop_out")
 os.system(f"rm -rf {res_dir} {res_dir}_warm")
 
-CHUNK_T = int(os.environ.get("VERIFY_CHUNK_T", "8"))
+CHUNK_T = int(os.environ.get("VERIFY_CHUNK_T", "32"))
 infer_step = make_infer_step(cfg) if CHUNK_T == 1 else None
 t0 = time.time()
 n = run_trajectory(params, cfg, traj, res_dir + "_warm",
