@@ -65,7 +65,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(D, H, W, WS, CP, BY, k, kept_base, l1, precision,
-                 tap_dtype):
+                 tap_dtype, band_matmul=False):
     """Grid cell = (view, y_out, x_tile). Loops over the D hypotheses.
 
     One output row TILE is LANES wide; the source band spans the FULL
@@ -123,15 +123,33 @@ def _make_kernel(D, H, W, WS, CP, BY, k, kept_base, l1, precision,
             ).astype(tap_dtype)
 
             band = src_ref[0, pl.ds(ybase, BY)]            # (BY, CP, WS)
-            warp = jnp.zeros((CP, LANES), jnp.float32)
-            for b in range(BY):
-                p_b = jax.lax.dot_general(
-                    band[b], axt,
+            if band_matmul:
+                # one K=BY*WS contraction instead of BY issue-bound small
+                # dots: the y-weights fold into the selection matrix as an
+                # outer product (ab[(b,xs), x] = ay[b,x]*axt[xs,x]); the
+                # (BY, WS, LANES) -> (BY*WS, LANES) reshape merges leading
+                # dims above the tiled (sublane, lane) pair, a layout
+                # no-op. lhs = the band rows side by side on lanes.
+                ab = (ay[:, None, :] * axt.astype(jnp.float32)[None]) \
+                    .astype(tap_dtype).reshape(BY * WS, LANES)
+                lhs = jnp.concatenate(
+                    [band[b] for b in range(BY)], axis=-1)  # (CP, BY*WS)
+                warp = jax.lax.dot_general(
+                    lhs, ab,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-                warp = warp + ay[b][None, :] * p_b
+            else:
+                warp = jnp.zeros((CP, LANES), jnp.float32)
+                for b in range(BY):
+                    p_b = jax.lax.dot_general(
+                        band[b], axt,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    warp = warp + ay[b][None, :] * p_b
 
             diff = warp - ref_row
             if l1:
@@ -161,6 +179,7 @@ def sweep_cost_volume_fused(
     band: int = 8,
     precision=None,
     tap_dtype=None,
+    band_matmul: bool = False,
     interpret: bool = False,
 ):
     """Drop-in fast path for ``ops.sweep.sweep_cost_volume`` (same returns).
@@ -208,7 +227,7 @@ def sweep_cost_volume_fused(
 
     kernel = _make_kernel(D, H, W, WS, CP, BY, k, kept_base=C - k,
                           l1=(feat_dist == "L1"), precision=precision,
-                          tap_dtype=tap)
+                          tap_dtype=tap, band_matmul=band_matmul)
 
     out_shape = [jax.ShapeDtypeStruct((V, H, D, WO), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1, D, LANES),
