@@ -63,9 +63,12 @@ def main():
     else:
         fast_sweep, sweep_band = None, 8
 
-    # BENCH_CACHE_FE=1 measures the cached-feature rollout (per-frame BN
-    # deviation, PERF.md "Cached-feature rollout")
-    cache_fe = bool(int(os.environ.get("BENCH_CACHE_FE", "0")))
+    # Cached-feature rollout is the TPU default (per-frame BN deviation,
+    # accuracy-gated on trained weights: holdout abs_rel 0.12434 cached vs
+    # 0.12437 exact — PERF.md "Cached-feature rollout"). BENCH_CACHE_FE=0
+    # measures the parity-exact joint-window path instead.
+    cache_fe = bool(int(os.environ.get(
+        "BENCH_CACHE_FE", "1" if jax.default_backend() == "tpu" else "0")))
     rollout = make_rollout(cfg, jit=False, fast_sweep=fast_sweep,
                            sweep_band=sweep_band, cache_features=cache_fe)
 

@@ -48,10 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_t", type=int, default=32,
                    help="frames scanned per device dispatch (1 = per-frame "
                         "stepping)")
-    p.add_argument("--cache_features", action="store_true",
+    p.add_argument("--cache_features", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="featurize each unique frame once (per-frame BN "
                         "statistics; accuracy-gated deviation, PERF.md "
-                        "'Cached-feature rollout')")
+                        "'Cached-feature rollout'). Default: on for chunked "
+                        "TPU runs, off elsewhere; --no-cache_features forces "
+                        "the reference's joint-window semantics")
     return p
 
 

@@ -19,7 +19,7 @@ from neuralrgbd_tpu.infer.step import make_infer_step
 
 def make_rollout(cfg: ModelConfig, jit: bool = True,
                  fast_sweep: bool | None = None, sweep_band: int = 8,
-                 cache_features: bool = False):
+                 cache_features: bool | None = None):
     """Returns ``rollout(params, frames_batch, bv_predict0, bv_valid0)``.
 
     frames_batch: pytree with a leading time axis T over the per-step batch
@@ -35,9 +35,14 @@ def make_rollout(cfg: ModelConfig, jit: bool = True,
     statistics span the V+1 frames): here BN statistics are per-frame
     (B=1), making a frame's features window-independent — the property
     that makes caching coherent. Accuracy on trained weights: PERF.md
-    "Cached-feature rollout". Requires the contiguous step=1 window
-    layout ([t-2, t-1, t+1, t+2] around ref t).
+    "Cached-feature rollout" (holdout abs_rel 0.12434 cached vs 0.12437
+    exact — the gate that made this the TPU default). Requires the
+    contiguous step=1 window layout ([t-2, t-1, t+1, t+2] around ref t).
+    Default (None): ON on TPU, OFF elsewhere (CPU is the torch-oracle
+    parity backend, so it keeps the reference's joint-window semantics).
     """
+    if cache_features is None:
+        cache_features = jax.default_backend() == "tpu"
     step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
                            sweep_band=sweep_band,
                            with_features=cache_features)

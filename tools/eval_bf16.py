@@ -80,7 +80,10 @@ def evaluate(cfg, tag):
     return res, preds
 
 
-m32, p32 = evaluate(cfg32, "fp32")
+# infer_dtype=None: make_infer_step otherwise promotes the default config
+# to bf16 on TPU (the round-2 default flip), which would make both arms
+# identical — the fp32 arm must pin the training dtype explicitly.
+m32, p32 = evaluate(ModelConfig(infer_dtype=None), "fp32")
 m16, p16 = evaluate(ModelConfig(dtype="bfloat16"), "bf16")
 
 dd = np.stack([np.abs(a - b) for a, b in zip(p32, p16)])

@@ -49,20 +49,43 @@ res_dir = os.path.join(tempfile.gettempdir(), "verify_host_loop_out")
 os.system(f"rm -rf {res_dir} {res_dir}_warm")
 
 CHUNK_T = int(os.environ.get("VERIFY_CHUNK_T", "32"))
+# VERIFY_CACHE_FE=0/1 pins the feature-cache mode; unset = production
+# default (cached per-frame-BN on TPU when chunked — PERF.md)
+_cfe = os.environ.get("VERIFY_CACHE_FE")
+CACHE_FE = (None if _cfe is None else bool(int(_cfe)))
+cache_fe = (CACHE_FE if CACHE_FE is not None
+            else CHUNK_T > 1 and jax.default_backend() == "tpu")
+print(f"chunk_t={CHUNK_T} cache_features={cache_fe}", flush=True)
 infer_step = make_infer_step(cfg) if CHUNK_T == 1 else None
 t0 = time.time()
 n = run_trajectory(params, cfg, traj, res_dir + "_warm",
-                   infer_step=infer_step, verbose=False, chunk_t=CHUNK_T)
+                   infer_step=infer_step, verbose=False, chunk_t=CHUNK_T,
+                   cache_features=cache_fe)
 print(f"pass 1 (compile): {n} frames in {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
 n = run_trajectory(params, cfg, traj, res_dir, infer_step=infer_step,
-                   verbose=False, chunk_t=CHUNK_T)
+                   verbose=False, chunk_t=CHUNK_T, cache_features=cache_fe)
 dt = time.time() - t0
 fps = n / dt
 print(f"RESULT host_loop_fps={fps:.2f} ({n} frames in {dt:.1f}s)", flush=True)
 
-# contract check: recompute the first 4 frames via direct steps and compare
+# contract check: recompute the first 4 frames via direct steps and compare.
+# The oracle must match the deployed semantics: with the feature cache the
+# stepwise oracle featurizes per frame (B=1 BN statistics) and feeds the
+# features in — caching itself is pure reuse (tests/test_data_e2e.py
+# test_chunked_loop_cached_features is the CPU version of this check).
+if cache_fe:
+    from neuralrgbd_tpu.infer.step import make_frame_features
+    fe1 = make_frame_features(cfg)
+    step_f = make_infer_step(cfg, with_features=True)
+
+    def infer_step(params, sb, bv, valid):
+        window = list(sb["srcs"][0]) + [sb["ref"][0]]
+        l1s, fs = zip(*[fe1(params, fr) for fr in window])
+        feats = (jnp.stack(l1s)[None], jnp.stack(fs)[None])
+        return step_f(params, sb, bv, valid, feats)
+
 infer_step = infer_step or make_infer_step(cfg)
 D = cfg.ndepth
 w_dpv, h_dpv = traj.dpv_size_wh
