@@ -65,7 +65,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(D, H, W, WS, CP, BY, k, kept_base, l1, precision,
-                 tap_dtype, band_matmul=False):
+                 tap_dtype, band_matmul=False, m_fold=False):
     """Grid cell = (view, y_out, x_tile). Loops over the D hypotheses.
 
     One output row TILE is LANES wide; the source band spans the FULL
@@ -140,6 +140,22 @@ def _make_kernel(D, H, W, WS, CP, BY, k, kept_base, l1, precision,
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
+            elif m_fold:
+                # ONE dot with the band folded into M: lhs (BY*CP, WS), so
+                # the MXU M dimension runs full instead of 72/128-occupied
+                # BY times. Same FLOPs, the y-weighted reduction moves after
+                # the dot. Chip A/B NEGATIVE (PERF.md round 3): 9.83 vs
+                # 6.88 ms at band=8 — Mosaic materializes the
+                # (BY, CP, WS) -> (BY*CP, WS) reshape as a relayout copy,
+                # and the BY small dots were already MXU-pipelined. Kept as
+                # the measured experiment; default off.
+                p = jax.lax.dot_general(
+                    band.reshape(BY * CP, WS), axt,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ).reshape(BY, CP, LANES)
+                warp = jnp.sum(ay[:, None, :] * p, axis=0)
             else:
                 warp = jnp.zeros((CP, LANES), jnp.float32)
                 for b in range(BY):
@@ -180,6 +196,7 @@ def sweep_cost_volume_fused(
     precision=None,
     tap_dtype=None,
     band_matmul: bool = False,
+    m_fold: bool = False,
     interpret: bool = False,
 ):
     """Drop-in fast path for ``ops.sweep.sweep_cost_volume`` (same returns).
@@ -227,7 +244,8 @@ def sweep_cost_volume_fused(
 
     kernel = _make_kernel(D, H, W, WS, CP, BY, k, kept_base=C - k,
                           l1=(feat_dist == "L1"), precision=precision,
-                          tap_dtype=tap, band_matmul=band_matmul)
+                          tap_dtype=tap, band_matmul=band_matmul,
+                          m_fold=m_fold)
 
     out_shape = [jax.ShapeDtypeStruct((V, H, D, WO), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1, D, LANES),

@@ -57,8 +57,8 @@ def _poses(kind, V=2):
 @pytest.mark.parametrize("pose", ["identity", "translation", "rotation",
                                   "wide"])
 @pytest.mark.parametrize("feat_dist", ["L2", "L1"])
-@pytest.mark.parametrize("band_matmul", [False, True])
-def test_fused_matches_xla(pose, feat_dist, band_matmul):
+@pytest.mark.parametrize("dot_mode", ["loop", "mfold", "bm"])
+def test_fused_matches_xla(pose, feat_dist, dot_mode):
     cam, d_candi, ref, srcs = _setup()
     Rs, ts = _poses(pose)
     sigma = 10.0
@@ -70,7 +70,8 @@ def test_fused_matches_xla(pose, feat_dist, band_matmul):
     assert spread <= 7, f"test pose exceeds the BY=8 band ({spread})"
     got_cost, got_kept = sweep_cost_volume_fused(
         ref, srcs, Rs, ts, cam, d_candi, sigma, feat_dist=feat_dist,
-        keep_last_channels=3, band_matmul=band_matmul, interpret=True)
+        keep_last_channels=3, band_matmul=dot_mode == "bm",
+        m_fold=dot_mode == "mfold", interpret=True)
     np.testing.assert_allclose(np.asarray(got_cost), np.asarray(want_cost),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_kept), np.asarray(want_kept),

@@ -66,27 +66,34 @@ def main():
 
     slope_time(xla_step, ref, "XLA sweep+kept (oracle)")
 
+    # three dot formulations: BY small dots (loop), M-folded single dot
+    # (mfold — band reshaped into the M dim, full MXU M occupancy), and the
+    # K-folded contraction (bm — round-3 negative, kept for reference)
     for band in (8, 4, 16):
-        for bm in (False, True):
-            def fused_step(x, b=band, m=bm):
+        for mode in ("loop", "mfold", "bm"):
+            kw = {"band_matmul": mode == "bm", "m_fold": mode == "mfold"}
+
+            def fused_step(x, b=band, kw=kw):
                 c, k = sweep_cost_volume_fused(
                     x, srcs, Rs, ts, cam, d_candi, cfg.sigma_soft_max,
-                    keep_last_channels=3, band=b, band_matmul=m)
+                    keep_last_channels=3, band=b, **kw)
                 return x + 1e-12 * (jnp.sum(c) + jnp.sum(k)).astype(x.dtype)
 
             slope_time(fused_step, ref,
-                       f"fused Pallas sweep (band={band} bm={int(bm)})",
+                       f"fused Pallas sweep (band={band} {mode})",
                        flops=V * D * h * band * 2 * 128 * 128 * 72)
 
     # band_matmul on-device parity (the tiled-reshape + lane-concat path
     # only exists on real Mosaic, interpret mode can't prove it)
-    got_c, got_k = jax.jit(lambda: sweep_cost_volume_fused(
-        ref, srcs, Rs, ts, cam, d_candi, cfg.sigma_soft_max,
-        keep_last_channels=3, band_matmul=True))()
-    for nm, a, b in [("cost", got_c, want_c), ("kept", got_k, want_k)]:
-        a, b = np.asarray(a), np.asarray(b)
-        print(f"band_matmul {nm}: max_abs={np.max(np.abs(a - b)):.3e}",
-              flush=True)
+    for label, kw in [("band_matmul", {"band_matmul": True}),
+                      ("m_fold", {"m_fold": True, "band_matmul": False})]:
+        got_c, got_k = jax.jit(lambda kw=kw: sweep_cost_volume_fused(
+            ref, srcs, Rs, ts, cam, d_candi, cfg.sigma_soft_max,
+            keep_last_channels=3, **kw))()
+        for nm, a, b in [("cost", got_c, want_c), ("kept", got_k, want_k)]:
+            a, b = np.asarray(a), np.asarray(b)
+            print(f"{label} {nm}: max_abs={np.max(np.abs(a - b)):.3e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
