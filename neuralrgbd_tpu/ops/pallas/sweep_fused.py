@@ -204,7 +204,16 @@ def sweep_cost_volume_fused(
     ``tap_dtype=jnp.bfloat16`` stores the source features and the tap
     selection matrix in bf16 (halved VMEM traffic, single-pass MXU dots,
     f32 accumulation — the same numeric class as the model's bf16 convs);
-    default keeps fp32 operands."""
+    default keeps fp32 operands.
+
+    ``band_matmul``/``m_fold`` select alternative dot formulations (fold
+    the y-tap band into K resp. M of one big contraction instead of the
+    BY-loop of small dots); both measured SLOWER on-chip (PERF.md round 3)
+    and are off by default. They are mutually exclusive."""
+    if band_matmul and m_fold:
+        raise ValueError(
+            "band_matmul and m_fold are mutually exclusive dot "
+            "formulations; pass at most one.")
     V, H, W, C = src_feats.shape
     D = int(d_candi.shape[0])
     k = keep_last_channels

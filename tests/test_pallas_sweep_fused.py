@@ -193,3 +193,12 @@ def test_band_spread_flags_violations():
     spread = float(band_spread(Rs, ts, cam, d_candi, ref.shape[0],
                                ref.shape[1]))
     assert spread > 7
+
+
+def test_mutually_exclusive_dot_modes_raise():
+    cam, d_candi, ref, srcs = _setup()
+    Rs, ts = _poses("identity")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sweep_cost_volume_fused(ref, srcs, Rs, ts, cam, d_candi, 5.0,
+                                band_matmul=True, m_fold=True,
+                                interpret=True)
