@@ -69,8 +69,13 @@ def main():
     # measures the parity-exact joint-window path instead.
     cache_fe = bool(int(os.environ.get(
         "BENCH_CACHE_FE", "1" if jax.default_backend() == "tpu" else "0")))
+    # Coarse-D K-Net (accuracy-gated deviation, PERF.md "Coarse-D K-Net"):
+    # BENCH_COARSE_KNET=2 runs the K-Net at D/2 with the gain trilinearly
+    # D-upsampled (the reference's own basic.py:128-139 mechanism).
+    coarse = int(os.environ.get("BENCH_COARSE_KNET", "1"))
     rollout = make_rollout(cfg, jit=False, fast_sweep=fast_sweep,
-                           sweep_band=sweep_band, cache_features=cache_fe)
+                           sweep_band=sweep_band, cache_features=cache_fe,
+                           coarse_knet=coarse)
 
     @jax.jit
     def run(params, frames, bvp, valid):

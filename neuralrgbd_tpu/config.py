@@ -54,6 +54,15 @@ class ModelConfig:
     # statistics at train AND eval (psm_submodule.py:10-16). Keep True for
     # weight-import parity; False switches to standard running-stats BN.
     bn_batch_stats: bool = True
+    # Coarse-D K-Net (deviation, default off): run the K-Net gain at D/knet_coarse_d
+    # — the input volume linearly downsampled along D (align_corners=True
+    # grid) and the 1-channel gain upsampled back with the reference's own
+    # trilinear D-upsample branch (basic.py:128-139, ported at
+    # models/knet.py up_sample_ratio). Halves (at 2) the dominant 3-D-conv
+    # cost; accuracy-gated like cache_features/bf16 (PERF.md "Coarse-D
+    # K-Net"). 1 = exact reference semantics. Differentiable, so training
+    # can fine-tune with it enabled.
+    knet_coarse_d: int = 1
     dtype: str = "float32"         # compute dtype for convs ("bfloat16" ok)
     # Inference-only conv compute dtype, applied by make_infer_step on TPU
     # (training and the CPU parity/test backend keep ``dtype``). Validated
@@ -100,6 +109,16 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     lr: float = 1e-5               # --LR (Adam, betas (.9,.999))
+    # LR schedule (deviation: the reference trains at constant LR,
+    # train_KVNet.py:264 — round-3 campaigns showed post-peak regression
+    # that a decay schedule removes; TRAIN.md "Round-4"). 'constant'
+    # reproduces the reference. 'cosine' decays lr -> lr*lr_min_ratio over
+    # lr_decay_steps (with lr_warmup_steps linear warmup); 'step' halves
+    # the LR every lr_decay_steps.
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 0        # total decay horizon (cosine) / period (step)
+    lr_min_ratio: float = 0.1      # cosine floor as a fraction of lr
+    lr_warmup_steps: int = 0
     n_epoch: int = 10              # local_train_scanNet.sh (KITTI: 20)
     batch_size: int = 0            # 0 => one lane per device
     pose_noise_level: float = 0.0  # --pose_noise_level

@@ -19,7 +19,8 @@ from neuralrgbd_tpu.infer.step import make_infer_step
 
 def make_rollout(cfg: ModelConfig, jit: bool = True,
                  fast_sweep: bool | None = None, sweep_band: int = 8,
-                 cache_features: bool | None = None):
+                 cache_features: bool | None = None,
+                 coarse_knet: int | None = None):
     """Returns ``rollout(params, frames_batch, bv_predict0, bv_valid0)``.
 
     frames_batch: pytree with a leading time axis T over the per-step batch
@@ -44,7 +45,7 @@ def make_rollout(cfg: ModelConfig, jit: bool = True,
     if cache_features is None:
         cache_features = jax.default_backend() == "tpu"
     step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
-                           sweep_band=sweep_band,
+                           sweep_band=sweep_band, coarse_knet=coarse_knet,
                            with_features=cache_features)
 
     if cache_features:

@@ -104,6 +104,7 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
                     fast_knet: bool | None = None,
                     paired_knet: bool | None = None,
                     packed_fe: bool | None = None,
+                    coarse_knet: int | None = None,
                     with_features: bool = False):
     """Returns ``infer_step(params, batch, bv_predict, bv_valid)``.
 
@@ -138,6 +139,15 @@ def make_infer_step(cfg: ModelConfig, jit: bool = True,
         import dataclasses
 
         cfg = dataclasses.replace(cfg, dtype=cfg.infer_dtype)
+    # coarse_knet overrides cfg.knet_coarse_d for inference (the config
+    # field is what training/fine-tuning reads). Default None keeps the
+    # config value — exact reference semantics unless explicitly enabled
+    # or the trained-weights accuracy gate flips the deployment config
+    # (PERF.md "Coarse-D K-Net").
+    if coarse_knet is not None and coarse_knet != cfg.knet_coarse_d:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, knet_coarse_d=int(coarse_knet))
     if fast_sweep is None:
         fast_sweep = jax.default_backend() == "tpu"
     # fast_knet default OFF: the pair-packed chain measured 22.8 ms vs

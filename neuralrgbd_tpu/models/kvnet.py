@@ -227,6 +227,23 @@ class KVNet(nn.Module):
                 ],
                 axis=-1,
             )  # (D, h, w, 3V+4) == kvnet_in_vol channel order, KVNET.py:166
+            # Coarse-D K-Net (cfg.knet_coarse_d > 1, accuracy-gated
+            # deviation): downsample the input volume along D on the
+            # align_corners grid, run the 3-D CNN at D/cd, and upsample the
+            # gain back with the same align-corners D-interpolation as the
+            # reference's trilinear D-upsample branch (basic.py:128-139,
+            # ported + parity-tested at models/knet.py up_sample_ratio).
+            # Linear in D both ways, so a D-linear gain round-trips exactly.
+            cd = max(1, int(cfg.knet_coarse_d))
+            if cd > 1:
+                if D % cd:
+                    raise ValueError(
+                        f"knet_coarse_d={cd} must divide ndepth={D}")
+                from neuralrgbd_tpu.models.layers import (
+                    linear_interp_matrix_ac)
+
+                Md = linear_interp_matrix_ac(D, D // cd)
+                vol = jnp.einsum("od,dhwc->ohwc", Md, vol)
             use_fast_knet = (self.fast_knet and cfg.kv_feature_dim == 64
                              and not self.is_initializing())
             use_paired_knet = (self.paired_knet and w % 2 == 0
@@ -246,7 +263,11 @@ class KVNet(nn.Module):
                     self.variables["params"]["kv_net"], vol, dtype=dtype)
             else:
                 gain = KNet(feature_dim=cfg.kv_feature_dim, dtype=dtype,
-                            name="kv_net")(vol[None])[0]  # (D, h, w)
+                            name="kv_net")(vol[None])[0]  # (D/cd, h, w)
+            if cd > 1:
+                Mu = linear_interp_matrix_ac(D // cd, D)
+                gain = jnp.einsum("od,dhw->ohw", Mu,
+                                  gain.astype(jnp.float32))
             dpv_fused = jax.nn.log_softmax(gain + bv_predict, axis=0)
         dpv = jnp.where(bv_valid, dpv_fused, bv_cur)
 

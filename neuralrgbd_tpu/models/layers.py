@@ -264,6 +264,26 @@ def avg_pool2d(x: jax.Array, window: int, stride: int | None = None) -> jax.Arra
     return y.mean(axis=(-4, -2))
 
 
+def linear_interp_matrix_ac(n_in: int, n_out: int) -> jax.Array:
+    """(n_out, n_in) 1-D linear interpolation matrix, align_corners=True.
+
+    Row o places bilinear weights at input position o*(n_in-1)/(n_out-1) —
+    the torch ``F.upsample(..., align_corners=True)`` grid (exact identity
+    when n_out == n_in). Separable N-D align-corners interpolation is a
+    matmul with this per axis (rides the MXU instead of a gather)."""
+    if n_out == 1 or n_in == 1:
+        src = jnp.zeros((n_out,), jnp.float32)
+    else:
+        src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+    w1 = src - i0
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[jnp.arange(n_out), i0].add(1.0 - w1)
+    m = m.at[jnp.arange(n_out), i1].add(w1)
+    return m
+
+
 def upsample_bilinear_ac(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Bilinear upsample with align_corners=True as two small matmuls.
 
@@ -274,21 +294,8 @@ def upsample_bilinear_ac(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     H, W = x.shape[-3], x.shape[-2]
     OH, OW = out_hw
 
-    def interp_matrix(n_in: int, n_out: int) -> jax.Array:
-        if n_out == 1 or n_in == 1:
-            src = jnp.zeros((n_out,), jnp.float32)
-        else:
-            src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-        i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
-        i1 = jnp.clip(i0 + 1, 0, n_in - 1)
-        w1 = src - i0
-        m = jnp.zeros((n_out, n_in), jnp.float32)
-        m = m.at[jnp.arange(n_out), i0].add(1.0 - w1)
-        m = m.at[jnp.arange(n_out), i1].add(w1)
-        return m
-
-    My = interp_matrix(H, OH)    # (OH, H)
-    Mx = interp_matrix(W, OW)    # (OW, W)
+    My = linear_interp_matrix_ac(H, OH)    # (OH, H)
+    Mx = linear_interp_matrix_ac(W, OW)    # (OW, W)
     y = jnp.einsum("oh,...hwc->...owc", My, x)
     y = jnp.einsum("pw,...owc->...opc", Mx, y)
     return y
