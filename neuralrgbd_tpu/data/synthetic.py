@@ -129,8 +129,10 @@ def synthetic_dataset(cfg: ModelConfig, img_size_wh=(384, 256),
     are multi-view-consistent renders, distinct per index, in the ScanNet
     decoded layout. ``kind``: 'plane' (single slanted plane,
     ``write_plane_scene``), 'multi' (occlusion-correct multi-plane,
-    ``write_multiplane_scene``), or 'mixed' (alternating — the training-
-    campaign diversity setting).
+    ``write_multiplane_scene``), 'curved' (plane + textured spheres,
+    ``write_curved_scene``), 'mixed' (plane/multi alternating — the round-3
+    campaign setting), or 'mixed3' (plane/multi/curved cycling — the round-4
+    wide-campaign setting with all three structure classes).
     """
     import tempfile
 
@@ -141,7 +143,10 @@ def synthetic_dataset(cfg: ModelConfig, img_size_wh=(384, 256),
         f"neuralrgbd_{kind}_scenes_{n_scenes}x{n_frames}")
     for i in range(n_scenes):
         if not os.path.isdir(os.path.join(root, f"scene{i:04d}_00")):
-            if kind == "multi" or (kind == "mixed" and i % 2 == 1):
+            if kind == "curved" or (kind == "mixed3" and i % 3 == 2):
+                write_curved_scene(root, i, n_frames=n_frames)
+            elif (kind == "multi" or (kind == "mixed" and i % 2 == 1)
+                  or (kind == "mixed3" and i % 3 == 1)):
                 write_multiplane_scene(root, i, n_frames=n_frames)
             else:
                 write_plane_scene(root, i, n_frames=n_frames)
@@ -260,6 +265,131 @@ def write_multiplane_scene(root: str, scene_idx: int = 0, n_frames: int = 16,
             best_s = np.where(hit, s, best_s)
             rgb = np.where(hit[..., None], tex, rgb)
 
+        depth = np.where(np.isfinite(best_s), best_s, 0.0)
+
+        stem = os.path.join(scene, f"frame-{i * 5:06d}")
+        PIL.Image.fromarray(rgb).save(stem + ".color.jpg", quality=95)
+        dmm = (depth.clip(0, 65.535) * 1000).astype(np.uint16)
+        with open(stem + ".depth.pgm", "wb") as f:
+            f.write(f"P5\n{W} {H}\n65535\n".encode())
+            f.write(dmm.astype(">u2").tobytes())
+        np.savetxt(stem + ".pose.txt", c2w, fmt="%.7f")
+
+    return scene
+
+
+def write_curved_scene(root: str, scene_idx: int = 0, n_frames: int = 16,
+                       orig_wh=(640, 480),
+                       seed: Optional[int] = None) -> str:
+    """Multi-view-consistent scene with CURVED surfaces: an infinite slanted
+    back plane plus 1-3 textured spheres (nearest positive ray hit).
+
+    Spheres produce smooth depth gradients, curved occlusion contours and
+    grazing-angle foreshortening — structure classes neither plane kind has.
+    Sphere textures are functions of surface (latitude, longitude) arc
+    lengths, i.e. rigidly attached to the surface, so plane-sweep
+    photoconsistency carries real signal. ScanNet decoded on-disk layout.
+    """
+    import PIL.Image
+
+    seed = scene_idx if seed is None else seed
+    rng = np.random.RandomState(seed + 5000)
+    W, H = orig_wh
+    scene = os.path.join(root, f"scene{scene_idx:04d}_00")
+    os.makedirs(scene, exist_ok=True)
+
+    fx = fy = 585.0
+    cx, cy = W / 2.0 + 3.7, H / 2.0 - 2.1
+    K4 = np.eye(4)
+    K4[0, 0], K4[1, 1], K4[0, 2], K4[1, 2] = fx, fy, cx, cy
+    with open(os.path.join(scene, "_info.txt"), "w") as f:
+        f.write("m_versionNumber = 4\n")
+        f.write("m_sensorName = synthetic-curved\n")
+        f.write(f"m_colorWidth = {W}\n")
+        f.write(f"m_colorHeight = {H}\n")
+        f.write(f"m_depthWidth = {W}\n")
+        f.write(f"m_depthHeight = {H}\n")
+        f.write("m_depthShift = 1000\n")
+        f.write("m_calibrationColorIntrinsic = "
+                + " ".join(f"{v:.6f}" for v in K4.reshape(-1)) + "\n")
+
+    # back plane
+    z_back = rng.uniform(2.6, 4.6)
+    n_w = np.array([rng.uniform(-0.35, 0.35), rng.uniform(-0.35, 0.35), -1.0])
+    n_w /= np.linalg.norm(n_w)
+    p0 = np.array([0.0, 0.0, z_back])
+    e1 = np.cross(n_w, [0.0, 1.0, 0.0])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(n_w, e1)
+
+    spheres = []
+    for _ in range(int(rng.randint(1, 4))):
+        zc = rng.uniform(1.0, 0.7 * z_back)
+        c = np.array([rng.uniform(-0.5, 0.5) * zc * 0.6,
+                      rng.uniform(-0.4, 0.4) * zc * 0.6, zc])
+        r = rng.uniform(0.18, 0.45) * zc * 0.5
+        spheres.append((c, r))
+
+    direc = rng.choice([-1.0, 1.0])
+    step_t = rng.uniform(0.018, 0.032)
+    yaw_rate = rng.uniform(-0.004, 0.004)
+    pitch_rate = rng.uniform(-0.003, 0.003)
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    d_cam = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)],
+                     axis=-1)
+
+    for i in range(n_frames):
+        yaw, pitch = yaw_rate * i, pitch_rate * i
+        Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                       [-np.sin(yaw), 0, np.cos(yaw)]])
+        Rx = np.array([[1, 0, 0],
+                       [0, np.cos(pitch), -np.sin(pitch)],
+                       [0, np.sin(pitch), np.cos(pitch)]])
+        R = Ry @ Rx
+        t = np.array([direc * step_t * i,
+                      0.006 * np.sin(i * 0.9 + seed),
+                      0.004 * np.cos(i * 1.3)])
+        c2w = np.eye(4)
+        c2w[:3, :3], c2w[:3, 3] = R, t
+        d_w = d_cam @ R.T                       # unit-z camera rays in world
+
+        # back plane hit
+        denom = d_w @ n_w
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s_pl = ((p0 - t) @ n_w) / denom
+        hit_pl = np.isfinite(s_pl) & (s_pl > 0.05)
+        best_s = np.where(hit_pl, s_pl, np.inf)
+        Xp = t + s_pl[..., None] * d_w
+        a, b = (Xp - p0) @ e1, (Xp - p0) @ e2
+        rgb = np.where(
+            hit_pl[..., None],
+            _world_texture(np.random.RandomState(seed * 31 + 7), a, b),
+            np.zeros((H, W, 3), np.uint8))
+
+        for sp_idx, (c, r) in enumerate(spheres):
+            oc = t - c
+            dd = np.sum(d_w * d_w, axis=-1)
+            bq = 2.0 * (d_w @ oc)
+            cq = oc @ oc - r * r
+            disc = bq * bq - 4.0 * dd * cq
+            with np.errstate(invalid="ignore"):
+                sq = np.sqrt(np.maximum(disc, 0.0))
+                s_sp = (-bq - sq) / (2.0 * dd)   # nearest root
+            hit = (disc > 0) & (s_sp > 0.05) & (s_sp < best_s)
+            if not hit.any():
+                continue
+            X = t + s_sp[..., None] * d_w
+            rel = (X - c) / r
+            # latitude/longitude arc lengths (meters) — camera-independent
+            lat = np.arcsin(np.clip(rel[..., 1], -1, 1)) * r
+            lon = np.arctan2(rel[..., 0], rel[..., 2]) * r
+            tex = _world_texture(
+                np.random.RandomState(seed * 31 + 100 + sp_idx), lon, lat)
+            best_s = np.where(hit, s_sp, best_s)
+            rgb = np.where(hit[..., None], tex, rgb)
+
+        # ray parameter s is along unit-z rays => s IS the z-depth
         depth = np.where(np.isfinite(best_s), best_s, 0.0)
 
         stem = os.path.join(scene, f"frame-{i * 5:06d}")

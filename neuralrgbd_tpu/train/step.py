@@ -40,6 +40,29 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def make_lr_schedule(tcfg: TrainConfig):
+    """LR schedule from TrainConfig (see config.py; 'constant' == the
+    reference's fixed-LR Adam, train_KVNet.py:264). Returns an optax
+    schedule (or the float LR for 'constant')."""
+    if tcfg.lr_schedule == "constant" or tcfg.lr_decay_steps <= 0:
+        if tcfg.lr_schedule not in ("constant", "cosine", "step"):
+            raise ValueError(f"unknown lr_schedule: {tcfg.lr_schedule}")
+        return tcfg.lr
+    if tcfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if tcfg.lr_warmup_steps else tcfg.lr,
+            peak_value=tcfg.lr,
+            warmup_steps=tcfg.lr_warmup_steps,
+            decay_steps=tcfg.lr_decay_steps,
+            end_value=tcfg.lr * tcfg.lr_min_ratio,
+        )
+    if tcfg.lr_schedule == "step":
+        return optax.exponential_decay(
+            init_value=tcfg.lr, transition_steps=tcfg.lr_decay_steps,
+            decay_rate=0.5, staircase=True)
+    raise ValueError(f"unknown lr_schedule: {tcfg.lr_schedule}")
+
+
 def create_train_state(cfg: ModelConfig, tcfg: TrainConfig, sample_batch,
                        rng: Optional[jax.Array] = None) -> TrainState:
     """Initialize params from one (host-side) sample batch."""
@@ -58,7 +81,8 @@ def create_train_state(cfg: ModelConfig, tcfg: TrainConfig, sample_batch,
         bvp,
         jnp.asarray(True),
     )
-    tx = optax.adam(tcfg.lr, b1=0.9, b2=0.999)  # train_KVNet.py:264
+    lr = make_lr_schedule(tcfg)
+    tx = optax.adam(lr, b1=0.9, b2=0.999)  # train_KVNet.py:264
     if tcfg.grad_clip_max is not None:
         # the reference parsed --grad_clip but never applied it
         # (train_KVNet.py:143-145); here the flag actually works.

@@ -137,3 +137,56 @@ def test_plane_dataset_window_batch(tmp_path):
     assert np.isfinite(b["ref"]).all()
     assert b["dmap_digit"].max() < cfg.ndepth
     assert b["dmap_digit"].min() >= 0
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_curved_scene_photoconsistent_and_curved(tmp_path, seed):
+    from neuralrgbd_tpu.data.synthetic import write_curved_scene
+
+    scene = write_curved_scene(str(tmp_path), 0, n_frames=5, seed=seed)
+    img0, d0, p0 = _load(scene, 0)
+    img4, d4, p4 = _load(scene, 4)
+    H, W = d0.shape
+    valid = d0 > 0
+    assert valid.mean() > 0.95
+    # curved structure: second derivative of depth along x must be non-zero
+    # over a meaningful area (planes have ~0 curvature in z-over-ray space)
+    d2 = np.abs(np.diff(d0, n=2, axis=1))
+    assert (d2 > 5e-4).mean() > 0.01, "no curved surface rendered"
+
+    fx = fy = 585.0
+    cx, cy = W / 2 + 3.7, H / 2 - 2.1
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    rays = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
+    Xw = (rays * d0[..., None]) @ p0[:3, :3].T + p0[:3, 3]
+    Xc = (Xw - p4[:3, 3]) @ p4[:3, :3]
+    u = Xc[..., 0] / Xc[..., 2] * fx + cx
+    v = Xc[..., 1] / Xc[..., 2] * fy + cy
+    iu, iv = np.floor(u).astype(int), np.floor(v).astype(int)
+    inb = (iu >= 0) & (iu < W - 1) & (iv >= 0) & (iv < H - 1) & valid
+    fu, fv = u - iu, v - iv
+    iu, iv = iu.clip(0, W - 2), iv.clip(0, H - 2)
+    zc = Xc[..., 2]
+    d4s = d4[iv.clip(0, H - 1), iu.clip(0, W - 1)]
+    same = inb & (np.abs(d4s - zc) / np.maximum(zc, 1e-6) < 0.01)
+    assert same.mean() > 0.6, "most pixels should stay co-visible"
+    samp = (img4[iv, iu] * ((1 - fu) * (1 - fv))[..., None]
+            + img4[iv, iu + 1] * (fu * (1 - fv))[..., None]
+            + img4[iv + 1, iu] * ((1 - fu) * fv)[..., None]
+            + img4[iv + 1, iu + 1] * (fu * fv)[..., None])
+    err = np.abs(samp - img0)[same]
+    assert err.mean() < 4.0, f"photometric error {err.mean():.2f}/255"
+
+
+def test_mixed3_dataset_cycles_kinds(tmp_path):
+    cfg = ModelConfig()
+    make_traj, n = synthetic_dataset(cfg, n_scenes=3, n_frames=4,
+                                     root=str(tmp_path), kind="mixed3")
+    d_plane = make_traj(0).frame(0).dmap_imgsize
+    d_multi = make_traj(1).frame(0).dmap_imgsize
+    d_curved = make_traj(2).frame(0).dmap_imgsize
+    assert not (np.abs(np.diff(d_plane, axis=1)) > 0.3).any()
+    assert (np.abs(np.diff(d_multi, axis=1)) > 0.3).any()
+    assert (np.abs(np.diff(d_curved, n=2, axis=1)) > 5e-4).mean() > 0.01
+    for d in (d_plane, d_multi, d_curved):
+        assert d.min() > cfg.d_min and d.max() < cfg.d_max

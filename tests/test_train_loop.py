@@ -102,3 +102,27 @@ def test_train_cli_smoke(scene_root, tmp_path):
     assert os.path.isfile(str(tmp_path / "runs" / "t" / "tr_paras.txt"))
     cks = os.listdir(str(tmp_path / "sm" / "t"))
     assert any(c.startswith("ckpt_") for c in cks)
+
+
+def test_lr_schedule_shapes():
+    """make_lr_schedule: constant reproduces the reference fixed LR;
+    cosine decays to lr*lr_min_ratio at the horizon; step halves."""
+    from neuralrgbd_tpu.config import TrainConfig
+    from neuralrgbd_tpu.train.step import make_lr_schedule
+
+    assert make_lr_schedule(TrainConfig(lr=1e-4)) == 1e-4
+    cos = make_lr_schedule(TrainConfig(
+        lr=1e-4, lr_schedule="cosine", lr_decay_steps=100,
+        lr_min_ratio=0.1, lr_warmup_steps=10))
+    assert float(cos(0)) < 2e-5          # warmup from 0
+    assert abs(float(cos(10)) - 1e-4) < 1e-9
+    assert abs(float(cos(100)) - 1e-5) < 1e-9
+    assert abs(float(cos(1000)) - 1e-5) < 1e-9  # clamped past horizon
+    step = make_lr_schedule(TrainConfig(
+        lr=1e-4, lr_schedule="step", lr_decay_steps=50))
+    assert abs(float(step(0)) - 1e-4) < 1e-9
+    assert abs(float(step(50)) - 5e-5) < 1e-9
+    assert abs(float(step(100)) - 2.5e-5) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown lr_schedule"):
+        make_lr_schedule(TrainConfig(lr_schedule="bogus"))

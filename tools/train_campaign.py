@@ -32,15 +32,24 @@ p.add_argument("--lr", type=float, default=1e-4)
 p.add_argument("--save_dir", type=str, default="/tmp/campaign_ckpt")
 p.add_argument("--eval_frames", type=int, default=None)
 p.add_argument("--scenes", type=int, default=None,
-               help="training scenes (default: 5 legacy, 24 with --wide)")
+               help="training scenes (default: 5 legacy, 48 with --wide)")
 p.add_argument("--wide", action="store_true",
-               help="round-3 operating point: 24 mixed plane/multiplane "
-                    "scenes + photometric augmentation + pose noise, "
-                    "periodic holdout evals")
+               help="round-4 operating point: 48 mixed3 plane/multiplane/"
+                    "curved scenes + photometric augmentation + pose noise, "
+                    "periodic holdout evals, cosine LR decay")
+p.add_argument("--kind", type=str, default=None,
+               help="scene kind (default: mixed3 with --wide, plane else)")
 p.add_argument("--eval_every", type=int, default=1000,
                help="holdout eval every N steps (--wide)")
 p.add_argument("--augment", action="store_true")
 p.add_argument("--pose_noise", type=float, default=0.0)
+p.add_argument("--lr_schedule", type=str, default=None,
+               help="constant|cosine|step (default: cosine with --wide)")
+p.add_argument("--lr_decay_steps", type=int, default=0,
+               help="cosine horizon / step period (default: max_steps)")
+p.add_argument("--lr_warmup_steps", type=int, default=0)
+p.add_argument("--knet_coarse_d", type=int, default=1,
+               help="train with the coarse-D K-Net deviation enabled")
 args = p.parse_args()
 
 if args.mesh:
@@ -69,29 +78,36 @@ if args.mesh:
     img_wh, n_train, n_frames, batch = (128, 96), 8, 16, 8
     kind = "plane"
 else:
-    cfg = ModelConfig()                       # 384x256, D=64 operating point
+    cfg = ModelConfig(knet_coarse_d=args.knet_coarse_d)  # 384x256, D=64
     img_wh, n_frames, batch = (384, 256), 24, 1
-    n_train = args.scenes or (24 if args.wide else 5)
-    kind = "mixed" if args.wide else "plane"
+    n_train = args.scenes or (48 if args.wide else 5)
+    kind = args.kind or ("mixed3" if args.wide else "plane")
 if args.wide:
     args.augment = True
     if not args.pose_noise:
         args.pose_noise = 0.02
+    if args.lr_schedule is None:
+        args.lr_schedule = "cosine"
 
 tcfg = TrainConfig(lr=args.lr, n_epoch=args.epochs or 10_000, seed=0,
                    grad_clip_max=2.0, save_model_interv=10_000,
-                   augment=args.augment, pose_noise_level=args.pose_noise)
+                   augment=args.augment, pose_noise_level=args.pose_noise,
+                   lr_schedule=args.lr_schedule or "constant",
+                   lr_decay_steps=(args.lr_decay_steps
+                                   or (args.max_steps or 0)),
+                   lr_warmup_steps=args.lr_warmup_steps)
 if args.epochs:
     args.max_steps = None
 
+# one holdout per geometry kind in the cycle, never trained on
+n_hold = 3 if kind == "mixed3" else 2
 root = os.path.join(
     tempfile.gettempdir(),
-    f"campaign_{kind}_scenes_{n_train + 2}x{n_frames}_{img_wh[0]}")
-# two holdouts (one of each geometry kind under 'mixed'), never trained on
+    f"campaign_{kind}_scenes_{n_train + n_hold}x{n_frames}_{img_wh[0]}")
 make_traj, _ = synthetic_dataset(cfg, img_size_wh=img_wh,
-                                 n_scenes=n_train + 2, n_frames=n_frames,
-                                 root=root, kind=kind)
-holdouts = [make_traj(n_train), make_traj(n_train + 1)]
+                                 n_scenes=n_train + n_hold,
+                                 n_frames=n_frames, root=root, kind=kind)
+holdouts = [make_traj(n_train + j) for j in range(n_hold)]
 holdout = holdouts[0]
 
 print("devices:", jax.devices(), flush=True)
