@@ -87,7 +87,7 @@ def main(argv=None):
         return get
 
     get_traj = make_get_traj()
-    params = _init_or_load_params(cfg, args, get_traj(args.traj_idx[0]))
+    params, _torch_imported = _init_or_load_params(cfg, args, get_traj(args.traj_idx[0]))
     infer_step = make_infer_step(cfg)
     acc = MetricAccumulator()
 

@@ -103,7 +103,17 @@ def main(argv=None):
             )
         raise ValueError(args.dataset)
 
-    params = _init_or_load_params(cfg, args, get_traj(args.traj_idx[0]))
+    params, torch_imported = _init_or_load_params(
+        cfg, args, get_traj(args.traj_idx[0]))
+
+    # provenance-aware cached-feature default: the deviation's accuracy
+    # gate ran on weights trained here, not on reference torch imports
+    from neuralrgbd_tpu.infer.loop import resolve_cache_features
+
+    args.cache_features, cache_warn = resolve_cache_features(
+        args.cache_features, torch_imported)
+    if cache_warn:
+        print(f"WARNING: {cache_warn}")
 
     if args.multi_device and len(args.traj_idx) > 1:
         from neuralrgbd_tpu.infer.loop import run_trajectories_parallel
@@ -168,6 +178,7 @@ def _init_or_load_params(cfg, args, traj):
                   f"{report['unmatched_torch_keys'][:8]} ...")
         if report["shape_mismatches"]:
             print(f"  SHAPE MISMATCHES: {report['shape_mismatches'][:8]}")
+        return params, True
     elif args.model_path:
         from neuralrgbd_tpu.utils.checkpoint import restore_params_partial
 
@@ -175,7 +186,7 @@ def _init_or_load_params(cfg, args, traj):
         print(f"loaded {n_hit} tensors from {args.model_path}")
     else:
         print("WARNING: no --model_path given; using random init")
-    return params
+    return params, False
 
 
 if __name__ == "__main__":

@@ -126,7 +126,7 @@ def main(argv=None):
 
     from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
 
-    params = _init_or_load_params(cfg, args, traj)
+    params, _torch_imported = _init_or_load_params(cfg, args, traj)
     infer_step = make_infer_step(cfg)
     # one fused program: pyramid + chart + 3-scale Adam + pose assembly
     # (pose/lba.make_lba_program) — 1 dispatch per frame instead of ~20

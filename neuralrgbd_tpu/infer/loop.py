@@ -31,6 +31,35 @@ from neuralrgbd_tpu.infer.export import export_frame, save_scene_path_info
 from neuralrgbd_tpu.infer.step import make_infer_step
 
 
+TORCH_IMPORT_CACHE_WARNING = (
+    "cache_features: params were imported from a torch checkpoint "
+    "(reference-released weights); the cached-feature deviation replaces "
+    "the joint-window BatchNorm statistics those weights were trained "
+    "under (basic.py:245-252) with per-frame statistics, and its accuracy "
+    "gate (PERF.md 'Cached-feature rollout') ran on THIS repo's trained "
+    "weights only. Defaulting cache_features OFF for torch-imported "
+    "params; pass --cache_features to override.")
+
+
+def resolve_cache_features(requested: Optional[bool],
+                           torch_imported: bool):
+    """Provenance-aware default for the cached-feature deviation.
+
+    ``requested`` is the user's tri-state flag (None = auto). For params
+    imported from reference torch checkpoints the auto default is OFF (the
+    trained-weights accuracy gate covered only weights trained here), and
+    an explicit ON carries the warning so the deviation is never silent.
+    Returns ``(resolved, warning_text_or_None)``; resolved=None keeps the
+    downstream backend-based auto default (ON on TPU)."""
+    if not torch_imported:
+        return requested, None
+    if requested is None:
+        return False, TORCH_IMPORT_CACHE_WARNING
+    if requested:
+        return True, TORCH_IMPORT_CACHE_WARNING
+    return False, None
+
+
 class _DeviceFrameCache:
     """Upload each video frame to the device ONCE.
 
@@ -573,6 +602,21 @@ def _run_trajectory_chunked(params, cfg, traj, res_dir, t_win_r, step,
     n_frames_c = (chunk_t - 1) + 2 * span + 1
     K_np = traj.K_dpv.astype(np.float32)
 
+    # Double-buffered fetches: the relay serializes RPCs, so starting the
+    # ~95 ms stacked fetch of chunk N before chunk N+1's uploads/dispatch
+    # are enqueued stalls the device between chunks. Hold each chunk's
+    # result one dispatch behind and submit its fetch only after the NEXT
+    # chunk is in flight (measured on-chip: PERF.md "Production loop
+    # round-4"). NRGBD_NO_DOUBLE_BUFFER=1 restores the eager fetch (A/B).
+    pending: list = []               # at most one (entries, dc16)
+    eager_fetch = bool(int(os.environ.get("NRGBD_NO_DOUBLE_BUFFER", "0")))
+
+    def submit_pending():
+        if pending:
+            futures.append(executor.submit(flush, *pending.pop()))
+        while len(futures) > 3:      # bound device-buffer backlog
+            futures.pop(0).result()
+
     def dispatch_chunk():
         nonlocal bv_predict, bv_valid
         if not chunk_bufs:
@@ -598,10 +642,15 @@ def _run_trajectory_chunked(params, cfg, traj, res_dir, t_win_r, step,
         bv_valid = jnp.ones((1,), bool)
         entries = [(fc, source.get(ri), traj.img_paths[ri])
                    for (fc, ri, *_rest) in chunk_bufs]
-        futures.append(executor.submit(flush, entries, dc16))
         chunk_bufs.clear()
-        while len(futures) > 3:      # bound device-buffer backlog
-            futures.pop(0).result()
+        if eager_fetch:
+            pending.append((entries, dc16))
+            submit_pending()
+        else:
+            # previous chunk's fetch goes out now that THIS chunk's
+            # dispatches are already enqueued ahead of it on the relay
+            submit_pending()
+            pending.append((entries, dc16))
 
     lead = n_frames_c + chunk_t      # decode ~one chunk ahead
     for j in range(min(lead, len(traj))):
@@ -630,6 +679,7 @@ def _run_trajectory_chunked(params, cfg, traj, res_dir, t_win_r, step,
             print(f"Finished frame {frame_cnt + 1}/{hi - lo}", flush=True)
 
     dispatch_chunk()
+    submit_pending()
     for f in futures:
         f.result()
     executor.shutdown()
@@ -694,6 +744,16 @@ def run_trajectories_parallel(
 
     executor = ThreadPoolExecutor(max_workers=1)
     futures = []
+    # double-buffered fetches (see _run_trajectory_chunked): hold each
+    # chunk's stacked fetch until the next chunk's dispatches are enqueued
+    pending: list = []
+    eager_fetch = bool(int(os.environ.get("NRGBD_NO_DOUBLE_BUFFER", "0")))
+
+    def submit_pending():
+        if pending:
+            futures.append(executor.submit(flush_chunk, *pending.pop()))
+        while len(futures) > 2:
+            futures.pop(0).result()
 
     lane_devices = list(mesh.devices.flat)
     caches = [_DeviceFrameCache(device=lane_devices[i % len(lane_devices)])
@@ -777,13 +837,17 @@ def run_trajectories_parallel(
                     counts[i] += 1
             entries.append((t_off, chunk_refs[t_off], ok[t_off].copy(),
                             row_counts))
-        futures.append(executor.submit(flush_chunk, entries, d16, c16))
-        while len(futures) > 2:
-            futures.pop(0).result()
+        if eager_fetch:
+            pending.append((entries, d16, c16))
+            submit_pending()
+        else:
+            submit_pending()
+            pending.append((entries, d16, c16))
         if verbose:
             print(f"chunk {c0}..{c0 + t_real - 1}: "
                   f"ok={int(ok[:t_real].sum())}/{t_real * n}", flush=True)
 
+    submit_pending()
     for f in futures:
         f.result()
     executor.shutdown()

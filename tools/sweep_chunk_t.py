@@ -38,7 +38,7 @@ class _Args:
 
 from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
 
-params = _init_or_load_params(cfg, _Args(), traj)
+params, _torch_imported = _init_or_load_params(cfg, _Args(), traj)
 
 CONFIGS = [(8, False), (16, False), (32, False), (16, True), (32, True)]
 if os.environ.get("SWEEP_CONFIGS"):

@@ -43,7 +43,7 @@ class _Args:
 
 from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
 
-params = _init_or_load_params(cfg, _Args(), traj)
+params, _torch_imported = _init_or_load_params(cfg, _Args(), traj)
 
 res_dir = os.path.join(tempfile.gettempdir(), "verify_host_loop_out")
 os.system(f"rm -rf {res_dir} {res_dir}_warm")
