@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_t", type=int, default=32,
                    help="frames scanned per device dispatch (1 = per-frame "
                         "stepping)")
+    p.add_argument("--knet_coarse_d", type=int, default=1,
+                   help="run the K-Net gain at D/this (accuracy-gated "
+                        "deviation, PERF.md 'Coarse-D K-Net'; 1 = exact "
+                        "reference semantics)")
     p.add_argument("--cache_features", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="featurize each unique frame once (per-frame BN "
@@ -69,7 +73,7 @@ def main(argv=None):
         feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
         ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
         sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
-        refine_net=args.refine_net,
+        refine_net=args.refine_net, knet_coarse_d=args.knet_coarse_d,
     )
     img_wh = (args.img_width, args.img_height)
 

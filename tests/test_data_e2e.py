@@ -208,3 +208,37 @@ def test_chunked_loop_cached_features(scene_root, tmp_path):
         np.testing.assert_allclose(
             got_d.astype(np.int64), want_d.astype(np.int64), atol=1,
             err_msg=f"frame {k}: cached-feature chunk loop diverged")
+
+
+def test_chunked_loop_eager_fetch_matches_double_buffer(scene_root, tmp_path,
+                                                        monkeypatch):
+    """NRGBD_NO_DOUBLE_BUFFER=1 (eager per-chunk fetch) and the default
+    double-buffered fetch ordering must export identical bytes — the
+    buffering changes only WHEN the stacked fetch RPC is issued."""
+    from neuralrgbd_tpu.config import ModelConfig, TrainConfig
+    from neuralrgbd_tpu.data.scannet import make_trajectory
+    from neuralrgbd_tpu.data.trajectory import window_batch
+    from neuralrgbd_tpu.infer.export import read_pgm
+    from neuralrgbd_tpu.infer.loop import run_trajectory
+    from neuralrgbd_tpu.train import create_train_state
+
+    cfg = ModelConfig(feature_dim=16, kv_feature_dim=16, ndepth=8,
+                      d_min=0.5, d_max=4.0)
+    traj = make_trajectory(0, 5, scene_root, img_size_wh=(96, 64),
+                           d_candi=cfg.d_candi)
+    sample, _, _ = window_batch(traj, 2, 2, with_labels=True)
+    state = create_train_state(cfg, TrainConfig(), sample)
+
+    d_db = str(tmp_path / "db")
+    n1 = run_trajectory(state.params, cfg, traj, d_db, verbose=False,
+                        chunk_t=2)
+    monkeypatch.setenv("NRGBD_NO_DOUBLE_BUFFER", "1")
+    d_eager = str(tmp_path / "eager")
+    n2 = run_trajectory(state.params, cfg, traj, d_eager, verbose=False,
+                        chunk_t=2)
+    assert n1 == n2 == 5
+    for i in range(n1):
+        for pre in ("d", "conf"):
+            a = read_pgm(os.path.join(d_db, f"{pre}_{i:05d}.pgm"))
+            b = read_pgm(os.path.join(d_eager, f"{pre}_{i:05d}.pgm"))
+            np.testing.assert_array_equal(a, b)
