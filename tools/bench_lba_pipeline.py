@@ -18,9 +18,10 @@ import numpy as np
 
 from neuralrgbd_tpu.data.synthetic import write_scannet_scene
 
-N_FRAMES = 30
+N_FRAMES = int(os.environ.get("LBA_BENCH_FRAMES", "60"))
 
-root = os.path.join(tempfile.gettempdir(), "lba_bench_capture")
+root = os.path.join(tempfile.gettempdir(),
+                    f"lba_bench_capture_{N_FRAMES}")
 scene = os.path.join(root, "scene0000_00")
 if not os.path.isdir(scene):
     write_scannet_scene(root, n_frames=N_FRAMES)

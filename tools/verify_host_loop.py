@@ -24,10 +24,14 @@ from neuralrgbd_tpu.infer.export import read_pgm
 from neuralrgbd_tpu.infer.loop import run_trajectory
 from neuralrgbd_tpu.infer.step import make_infer_step
 
-N_FRAMES = 60
+N_FRAMES = int(os.environ.get("VERIFY_FRAMES", "60"))
 
-cfg = ModelConfig()
-root = os.path.join(tempfile.gettempdir(), "verify_host_loop_scene")
+# VERIFY_COARSE=2 runs the deployment stack's coarse-D K-Net deviation;
+# the stepwise oracle below shares cfg, so the contract check still holds.
+cfg = ModelConfig(knet_coarse_d=int(os.environ.get("VERIFY_COARSE", "1")))
+root = os.path.join(tempfile.gettempdir(),
+                    f"verify_host_loop_scene_{N_FRAMES}"
+                    if N_FRAMES != 60 else "verify_host_loop_scene")
 if not os.path.isdir(os.path.join(root, "scene0000_00")):
     write_scannet_scene(root, n_frames=N_FRAMES)
 traj = make_trajectory(0, 5, root, img_size_wh=(384, 256),
