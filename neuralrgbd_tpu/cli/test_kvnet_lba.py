@@ -56,6 +56,10 @@ def build_parser():
     p.add_argument("--timing", action="store_true",
                    help="print per-stage steady-state timing at the end "
                         "(decode/window, infer dispatch, export fetch, LBA)")
+    p.add_argument("--knet_coarse_d", type=int, default=1,
+                   help="run the K-Net gain at D/this (accuracy-gated "
+                        "deviation, PERF.md 'Coarse-D K-Net'; 1 = exact "
+                        "reference semantics)")
     return p
 
 
@@ -99,6 +103,7 @@ def main(argv=None):
         feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
         ndepth=args.ndepth, d_min=args.d_min, d_max=args.d_max,
         sigma_soft_max=args.sigma_soft_max, t_win_r=args.t_win,
+        knet_coarse_d=args.knet_coarse_d,
     )
     t_win_r, step = cfg.t_win_r, args.dat_indx_step
     D = cfg.ndepth

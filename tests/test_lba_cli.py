@@ -45,7 +45,8 @@ def capture(tmp_path_factory):
     }
 
 
-def test_lba_cli_end_to_end(capture, tmp_path):
+@pytest.mark.parametrize("coarse", [1, 2])
+def test_lba_cli_end_to_end(capture, tmp_path, coarse):
     from neuralrgbd_tpu.cli.test_kvnet_lba import main
 
     res = str(tmp_path / "res")
@@ -58,6 +59,7 @@ def test_lba_cli_end_to_end(capture, tmp_path):
         "--d_min", "0.5", "--d_max", "4.0",
         "--img_width", "96", "--img_height", "64",
         "--LBA_max_iter", "4", "--LBA_step", "0.01",
+        "--knet_coarse_d", str(coarse),
         "--res_dir", res,
     ])
     assert n >= 3
