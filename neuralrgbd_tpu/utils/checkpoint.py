@@ -67,6 +67,26 @@ def restore_checkpoint(path: str, state):
     return new_state, payload.get("extra", {})
 
 
+def restore_params_only(path: str, state):
+    """Restore ONLY the params (+ step, parsed from the ckpt dir name) into
+    ``state``, leaving opt_state untouched. For inference/eval consumers:
+    tolerant of optimizer-structure changes between save and restore (e.g.
+    a checkpoint trained with an LR schedule restored into a constant-LR
+    template — ``restore_checkpoint`` requires identical opt_state pytrees).
+    Asserts every params leaf was found with matching shape."""
+    import jax.numpy as jnp
+
+    params, n_hit = restore_params_partial(path, state.params)
+    n_total = len(jax.tree_util.tree_leaves(state.params))
+    if n_hit != n_total:
+        raise ValueError(
+            f"params-only restore from {path}: matched {n_hit}/{n_total} "
+            "leaves — checkpoint params do not cover the model")
+    tail = os.path.basename(os.path.normpath(path))
+    step = int(tail.split("_")[-1]) if tail.startswith("ckpt_") else 0
+    return state.replace(params=params, step=jnp.asarray(step))
+
+
 def restore_params_partial(path: str, params):
     """Filtered partial restore: keep the checkpoint's leaf wherever the
     path exists with matching shape, else the template's (the semantics of

@@ -85,6 +85,25 @@ def test_train_epochs_runs_and_checkpoints(scene_root, tmp_path):
     tb_files = os.listdir(str(tmp_path / "tb"))
     assert any("tfevents" in f for f in tb_files)
 
+    # params-only restore across an OPTIMIZER STRUCTURE change: a ckpt
+    # saved from an LR-schedule run must restore into a constant-LR eval
+    # template (regression: the r4 coarse-D gate failed exactly here)
+    from neuralrgbd_tpu.utils.checkpoint import restore_params_only
+
+    sched_tcfg = TrainConfig(lr=1e-4, lr_schedule="cosine",
+                             lr_decay_steps=100,
+                             save_model_interv=100000)
+    sample, _, _ = window_batch(make(0), 2, 2, with_labels=True)
+    sched_state = create_train_state(CFG, sched_tcfg, sample)
+    assert (jax.tree.structure(sched_state.opt_state)
+            != jax.tree.structure(state.opt_state))
+    eval_state = restore_params_only(path, sched_state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(eval_state.params)[0]),
+        np.asarray(jax.tree.leaves(out_state.params)[0]),
+    )
+    assert int(eval_state.step) == 3
+
 
 def test_train_cli_smoke(scene_root, tmp_path):
     """Drive the real training CLI end-to-end for a few steps."""

@@ -42,7 +42,7 @@ from neuralrgbd_tpu.infer.metrics import MetricAccumulator, depth_metrics
 from neuralrgbd_tpu.infer.step import make_frame_features, make_infer_step
 from neuralrgbd_tpu.train import create_train_state
 from neuralrgbd_tpu.utils.checkpoint import (latest_checkpoint,
-                                             restore_checkpoint)
+                                             restore_params_only)
 
 cfg = ModelConfig()
 prefix = ("campaign_scenes" if args.kind == "plane"
@@ -58,7 +58,7 @@ sample, _, _ = window_batch(make_traj(0), cfg.t_win_r, cfg.t_win_r,
 state = create_train_state(cfg, TrainConfig(grad_clip_max=2.0), sample)
 ckpt = latest_checkpoint(args.save_dir)
 assert ckpt, f"no checkpoint under {args.save_dir}"
-state, _ = restore_checkpoint(ckpt, state)
+state = restore_params_only(ckpt, state)
 print(f"weights: {ckpt} (step {int(state.step)})", flush=True)
 
 
