@@ -97,6 +97,10 @@ def bench_roll(roll_deg):
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     # ladder: near-zero roll (band 4), moderate (8), strong (16), extreme
-    # (XLA fallback) — thresholds from band_spread on the 96x64 DPV grid
-    for roll in (0.0, 2.5, 5.0, 12.0):
+    # (XLA fallback) — thresholds from band_spread on the 96x64 DPV grid.
+    # Measured spread is ~9.4 px/deg of per-view roll at this op point, so
+    # the defaults land one row in each regime; override with BENCH_ROLLS.
+    rolls = tuple(float(r) for r in
+                  os.environ.get("BENCH_ROLLS", "0.0,0.5,1.2,2.5").split(","))
+    for roll in rolls:
         bench_roll(roll)
