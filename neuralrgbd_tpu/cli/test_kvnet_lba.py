@@ -60,6 +60,15 @@ def build_parser():
                    help="run the K-Net gain at D/this (accuracy-gated "
                         "deviation, PERF.md 'Coarse-D K-Net'; 1 = exact "
                         "reference semantics)")
+    p.add_argument("--pose_graph", choices=("auto", "device", "host"),
+                   default="auto",
+                   help="where the optimized trajectory lives in the "
+                        "steady state: 'device' fuses the whole frame "
+                        "(window poses + inference + LBA + pose update) "
+                        "into one dispatch with zero per-frame fetches "
+                        "(PERF.md 'LBA pipeline round 4'); 'host' fetches "
+                        "the optimized poses every frame (the faithful "
+                        "per-frame loop); 'auto' = device on TPU")
     return p
 
 
@@ -173,6 +182,73 @@ def main(argv=None):
             jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16),
             jnp.clip(conf * 1000.0, 0, 65535).astype(jnp.uint16)])
 
+    # ---- device-resident pose graph (round-4 de-stall) ----------------
+    # The host-owned steady state must FETCH the optimized poses every
+    # frame (np.asarray(lba_run(...))): frame t+1's window poses depend on
+    # frame t's LBA output, so the fetch is synchronous — the host idles
+    # through the whole device chain plus a ~31-35 ms relay round-trip,
+    # and the device idles through every host stage (measured 250 ms of
+    # 'lba' stage = the entire frame serialized; PERF.md "LBA pipeline").
+    # With pose_graph='device' the trajectory lives ON DEVICE as an
+    # (L, 4, 4) array and the whole steady-state frame — window rel-poses,
+    # KV-Net inference, export quantization, LBA depth/conf maps, the
+    # 3-scale LBA itself, and the pose-graph write-back
+    # (test_KVNet_LBA.py:414-476) — is ONE jitted dispatch with zero
+    # per-frame fetches; only the batched uint16 export chunks ride the
+    # tunnel. The math is unchanged (fp32 rel_pose = src @ inv(ref),
+    # homography.py:904-906); poses are fetched back once at the end.
+    pose_graph_dev = (args.pose_graph == "device"
+                      or (args.pose_graph == "auto"
+                          and jax.default_backend() == "tpu"))
+    use_dso_R, use_dso_t = bool(args.use_dso_R), bool(args.use_dso_t)
+    K_dev = jnp.asarray(traj.K_dpv[None].astype(np.float32))
+
+    @jax.jit
+    def steady_frame(params, extMs, ref_img, src_imgs, next_img, opt_imgs,
+                     bv_predict, bv_valid, idx, dso_rel):
+        """One fused steady-state frame on the device pose graph.
+
+        idx: dict of int32 index arrays — "ref"/"next"/"pnext" scalars,
+        "win" (2*t_win,), "pose"/"opt" (V,). Returns (bv_predict, updated
+        extMs, quantized (2, H, W) uint16 maps).
+        """
+        inv_ref = jnp.linalg.inv(extMs[idx["ref"]])
+        batch = {
+            "ref": ref_img[None],
+            "srcs": src_imgs[None],
+            "poses": (extMs[idx["win"]] @ inv_ref)[None],
+            "K": K_dev,
+            "pose_next": (extMs[idx["pnext"]] @ inv_ref)[None],
+        }
+        out = infer_step(params, batch, bv_predict, bv_valid)
+        dc = quantize_maps(out.depth[0], out.confidence[0])
+        pose_next = extMs[idx["next"]] @ inv_ref
+        _, _, dmap_kf, conf_kf = lba_maps(out.dpv_refined[0], pose_next)
+        rel_inits = extMs[idx["pose"]] @ jnp.linalg.inv(extMs[idx["next"]])
+        if use_dso_R:
+            rel_inits = rel_inits.at[-1, :3, :3].set(dso_rel[:3, :3])
+        if use_dso_t:
+            rel_inits = rel_inits.at[-1, :3, 3].set(dso_rel[:3, 3])
+        rel_opt = lba_run(next_img, opt_imgs, dmap_kf, conf_kf, rel_inits)
+        new_rows = jnp.einsum("vij,jk->vik", rel_opt, extMs[idx["next"]])
+        extMs = extMs.at[idx["opt"]].set(new_rows)
+        return out.bv_predict, extMs, dc
+
+    dev_extMs = None          # (L, 4, 4) on device; None => stale/unbuilt
+
+    def upload_extMs():
+        return jnp.asarray(np.stack([
+            m.astype(np.float32) if isinstance(m, np.ndarray)
+            else np.eye(4, dtype=np.float32) for m in traj_extMs]))
+
+    def refresh_valid_mask():
+        # host-side validity bookkeeping (dso.valid_poses semantics);
+        # device iterations extend it incrementally — the indices the LBA
+        # writes are known without fetching the values
+        return [isinstance(m, np.ndarray) for m in traj_extMs]
+
+    valid_mask = refresh_valid_mask()
+
     res_dir = os.path.join(args.res_dir, args.exp_name)
     os.makedirs(res_dir, exist_ok=True)
     scene_path_info = [[traj.name]]
@@ -235,7 +311,10 @@ def main(argv=None):
         win_idx = ([i for i in range(ref_indx - t_win_r * step, ref_indx, step)]
                    + [i for i in range(ref_indx + step,
                                        ref_indx + t_win_r * step + 1, step)])
-        valid_seq = dso.valid_poses(traj_extMs, win_idx + [ref_indx])
+        if pose_graph_dev:
+            valid_seq = all(valid_mask[i] for i in win_idx + [ref_indx])
+        else:
+            valid_seq = dso.valid_poses(traj_extMs, win_idx + [ref_indx])
 
         if args.refresh_frames > 0 and ref_indx % args.refresh_frames == 0 \
                 and ref_indx > lo:
@@ -243,6 +322,7 @@ def main(argv=None):
             traj_extMs[:] = copy.deepcopy(traj_extMs_init)
             bv_valid = jnp.zeros((1,), bool)
             first_frame = True
+            dev_extMs, valid_mask = None, refresh_valid_mask()
 
         if not valid_seq:
             bv_valid = jnp.zeros((1,), bool)
@@ -256,6 +336,49 @@ def main(argv=None):
             dso.rescale_traj_t(traj_extMs, scale)
             traj_extMs_dso = copy.deepcopy(traj_extMs)
             print(f"metric scale from DSO baselines: {scale:.4f}")
+
+        # ---- device pose-graph steady state: ONE dispatch, no fetch ----
+        if pose_graph_dev and not first_frame and args.LBA_max_iter > 1:
+            t_frame0 = _time.perf_counter()
+            ref_rec = traj.frame(ref_indx)
+            idx_next = ref_indx + 1
+            pose_idx, opt_idx = twin_pose_indices(idx_next, t_win_r, step)
+            if dev_extMs is None:
+                dev_extMs = upload_extMs()
+            dso_rel = (rel_pose(traj_extMs_dso[idx_next],
+                                traj_extMs_dso[idx_next + t_win_r * step])
+                       if (use_dso_R or use_dso_t)
+                       else np.eye(4, dtype=np.float32))
+            idx = {
+                "ref": jnp.int32(ref_indx),
+                "next": jnp.int32(idx_next),
+                "pnext": jnp.int32(min(ref_indx + step, L - 1)),
+                "win": jnp.asarray(win_idx, jnp.int32),
+                "pose": jnp.asarray(pose_idx, jnp.int32),
+                "opt": jnp.asarray(opt_idx, jnp.int32),
+            }
+            t1 = _time.perf_counter()
+            bv_predict, dev_extMs, dc = steady_frame(
+                params, dev_extMs, dimg(ref_indx),
+                jnp.stack([dimg(i) for i in win_idx]), dimg(idx_next),
+                jnp.stack([dimg(i) for i in opt_idx]),
+                bv_predict, bv_valid, idx, jnp.asarray(dso_rel))
+            bv_valid = jnp.ones((1,), bool)
+            t2 = _time.perf_counter()
+            queue_export(frame_cnt_out, ref_rec.img_raw, dc)
+            scene_path_info.append([frame_cnt_out, ref_rec.img_path])
+            frame_cnt_out += 1
+            for i in opt_idx:
+                valid_mask[i] = True
+            t3 = _time.perf_counter()
+            timing["window"] += t1 - t_frame0
+            timing["infer"] += t2 - t1
+            timing["export"] += t3 - t2
+            timing["t_steady"] += t3 - t_frame0
+            timing["frames"] += 1
+            print(f"frame {ref_indx}: exported + poses optimized",
+                  flush=True)
+            continue
 
         # ---- KV-Net inference ----
         # window batch assembled from the device-resident frame cache;
@@ -341,6 +464,10 @@ def main(argv=None):
             timing["t_steady"] += t4 - t_frame0
             timing["frames"] += 1
         print(f"frame {ref_indx}: exported + poses optimized", flush=True)
+        if pose_graph_dev:
+            # a host-path iteration (bootstrap) wrote traj_extMs: the
+            # device copy is stale — rebuild it on the next steady frame
+            dev_extMs, valid_mask = None, refresh_valid_mask()
 
     if pending_exports:
         stack = jnp.stack([p[2] for p in pending_exports])
@@ -350,6 +477,13 @@ def main(argv=None):
     for f in export_futs:
         f.result()
     exporter.shutdown()
+    if pose_graph_dev and dev_extMs is not None:
+        # one fetch for the whole optimized trajectory (the per-frame
+        # host path pays this round-trip every frame)
+        ext_final = np.asarray(dev_extMs)
+        for i, v in enumerate(valid_mask):
+            if v:
+                traj_extMs[i] = ext_final[i]
     save_scene_path_info(os.path.join(res_dir, "scene_path_info.txt"),
                          scene_path_info)
     print(f"done: {frame_cnt_out} frames -> {res_dir}")

@@ -74,6 +74,43 @@ def test_lba_cli_end_to_end(capture, tmp_path, coarse):
     assert 400 <= d.max() <= 4100
 
 
+def test_pose_graph_device_matches_host(capture, tmp_path):
+    """--pose_graph device (the fused zero-fetch steady state) must match
+    the host-owned per-frame loop: same math, different residence. The only
+    numeric difference is jnp vs np fp32 4x4 inverses in rel_pose, so the
+    quantized (x1000) exports agree except isolated edge pixels."""
+    from neuralrgbd_tpu.cli.test_kvnet_lba import main
+    from neuralrgbd_tpu.infer.export import read_pgm
+
+    base = [
+        "--exp_name", "t",
+        "--img_glob", capture["img_glob"],
+        "--intrin_path", capture["intrin_path"],
+        "--dso_res_path", capture["dso_res_path"],
+        "--ndepth", "8", "--feature_dim", "16",
+        "--d_min", "0.5", "--d_max", "4.0",
+        "--img_width", "96", "--img_height", "64",
+        "--LBA_max_iter", "4", "--LBA_step", "0.01",
+    ]
+    res_h = str(tmp_path / "host")
+    res_d = str(tmp_path / "dev")
+    n_h = main(base + ["--res_dir", res_h, "--pose_graph", "host"])
+    n_d = main(base + ["--res_dir", res_d, "--pose_graph", "device"])
+    assert n_h == n_d and n_h >= 3
+
+    # measured on this fixture: frames 0-3 are bit-exact (0 = the shared
+    # host bootstrap frame, 1-3 = fused device frames), then the fp32 pose
+    # storage (host keeps the DSO float64 chain) amplifies chaotically
+    # through the random-init LBA — both trajectories are equally valid
+    for i in range(n_h):
+        for pre in ("d", "conf"):
+            a = read_pgm(os.path.join(res_h, "t", f"{pre}_{i:05d}.pgm"))
+            b = read_pgm(os.path.join(res_d, "t", f"{pre}_{i:05d}.pgm"))
+            close = np.abs(a.astype(np.int32) - b.astype(np.int32)) <= 2
+            floor = 0.999 if i < 4 else 0.95
+            assert close.mean() >= floor, (i, pre, close.mean())
+
+
 def test_twin_pose_indices():
     from neuralrgbd_tpu.cli.test_kvnet_lba import twin_pose_indices
 
