@@ -53,6 +53,10 @@ def build_parser():
     p.add_argument("--max_frame_idx", type=int, default=10**9)
     p.add_argument("--dat_indx_step", type=int, default=1)
     p.add_argument("--res_dir", type=str, default="results")
+    p.add_argument("--save_poses", action="store_true",
+                   help="write the final optimized trajectory (world->cam "
+                        "4x4 per frame + validity mask) to poses.npz in "
+                        "the result dir")
     p.add_argument("--timing", action="store_true",
                    help="print per-stage steady-state timing at the end "
                         "(decode/window, infer dispatch, export fetch, LBA)")
@@ -66,7 +70,7 @@ def build_parser():
                         "steady state: 'device' fuses the whole frame "
                         "(window poses + inference + LBA + pose update) "
                         "into one dispatch with zero per-frame fetches "
-                        "(PERF.md 'LBA pipeline round 4'); 'host' fetches "
+                        "(PERF.md 'LBA pipeline round 5'); 'host' fetches "
                         "the optimized poses every frame (the faithful "
                         "per-frame loop); 'auto' = device on TPU")
     return p
@@ -89,6 +93,108 @@ def twin_pose_indices(ref_indx, t_win_r, step):
     return src_pose_idx, src_opt_idx
 
 
+def make_lba_maps(cam_img, d_candi, D):
+    """Depth + confidence regression for the LBA in ONE dispatch
+    (test_KVNet_LBA.py:414-423); results stay on device — they feed
+    straight into the jitted ``local_ba_direct``. The image-res (W=384)
+    resample is too wide for the banded Pallas kernel (single-vreg lane
+    gather, ops/pallas/resample.py); on TPU it rides the tiled MXU
+    kernel with an in-jit oct-gather fallback for extreme motion
+    (ops/pallas/resample_tiled.py; XLA 432 -> oct 146 -> tiled ~X ms,
+    PERF.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.ops.dpv import resample_dpv
+
+    d_candi = jnp.asarray(d_candi)
+
+    @jax.jit
+    def lba_maps(dpv_ref, pose_next):
+        if jax.default_backend() == "tpu":
+            from neuralrgbd_tpu.ops.pallas.resample_tiled import (
+                resample_dpv_wide)
+            dpv_kf = resample_dpv_wide(
+                dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
+                padding_value=math.log(1.0 / D))
+        else:
+            dpv_kf = resample_dpv(
+                dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
+                padding_value=math.log(1.0 / D))
+        p_ref, p_kf = jnp.exp(dpv_ref), jnp.exp(dpv_kf)
+        return (jnp.einsum("dhw,d->hw", p_ref, d_candi),
+                jnp.exp(jnp.max(dpv_ref, 0)) ** 2,
+                jnp.einsum("dhw,d->hw", p_kf, d_candi),
+                jnp.exp(jnp.max(dpv_kf, 0)) ** 2)
+
+    return lba_maps
+
+
+def quantize_maps(depth, conf):
+    """pgm contract quantization on device: one packed uint16 fetch
+    (clipped so the XLA saturating cast == numpy's within range)."""
+    import jax.numpy as jnp
+
+    return jnp.stack([
+        jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16),
+        jnp.clip(conf * 1000.0, 0, 65535).astype(jnp.uint16)])
+
+
+def make_steady_frame(infer_step, lba_run, lba_maps, K_dev,
+                      use_dso_R, use_dso_t):
+    """Build the fused steady-state frame on the device pose graph.
+
+    The host-owned steady state must FETCH the optimized poses every
+    frame (np.asarray(lba_run(...))): frame t+1's window poses depend on
+    frame t's LBA output, so the fetch is synchronous — the host idles
+    through the whole device chain plus a ~31-35 ms relay round-trip,
+    and the device idles through every host stage (PERF.md "LBA pipeline
+    round 5"). With pose_graph='device' the trajectory lives ON DEVICE as
+    an (L, 4, 4) array and the whole steady-state frame — window
+    rel-poses, KV-Net inference, export quantization, LBA depth/conf
+    maps, the 3-scale LBA itself, and the pose-graph write-back
+    (test_KVNet_LBA.py:414-476) — is ONE jitted dispatch with zero
+    per-frame fetches; only the batched uint16 export chunks ride the
+    tunnel. The math is unchanged (fp32 rel_pose = src @ inv(ref),
+    homography.py:904-906); poses are fetched back once at the end.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def steady_frame(params, extMs, ref_img, src_imgs, next_img, opt_imgs,
+                     bv_predict, bv_valid, idx, dso_rel):
+        """One fused steady-state frame on the device pose graph.
+
+        idx: dict of int32 index arrays — "ref"/"next"/"pnext" scalars,
+        "win" (2*t_win,), "pose"/"opt" (V,). Returns (bv_predict, updated
+        extMs, quantized (2, H, W) uint16 maps).
+        """
+        inv_ref = jnp.linalg.inv(extMs[idx["ref"]])
+        batch = {
+            "ref": ref_img[None],
+            "srcs": src_imgs[None],
+            "poses": (extMs[idx["win"]] @ inv_ref)[None],
+            "K": K_dev,
+            "pose_next": (extMs[idx["pnext"]] @ inv_ref)[None],
+        }
+        out = infer_step(params, batch, bv_predict, bv_valid)
+        dc = quantize_maps(out.depth[0], out.confidence[0])
+        pose_next = extMs[idx["next"]] @ inv_ref
+        _, _, dmap_kf, conf_kf = lba_maps(out.dpv_refined[0], pose_next)
+        rel_inits = extMs[idx["pose"]] @ jnp.linalg.inv(extMs[idx["next"]])
+        if use_dso_R:
+            rel_inits = rel_inits.at[-1, :3, :3].set(dso_rel[:3, :3])
+        if use_dso_t:
+            rel_inits = rel_inits.at[-1, :3, 3].set(dso_rel[:3, 3])
+        rel_opt = lba_run(next_img, opt_imgs, dmap_kf, conf_kf, rel_inits)
+        new_rows = jnp.einsum("vij,jk->vik", rel_opt, extMs[idx["next"]])
+        extMs = extMs.at[idx["opt"]].set(new_rows)
+        return out.bv_predict, extMs, dc
+
+    return steady_frame
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -103,8 +209,7 @@ def main(argv=None):
     from neuralrgbd_tpu.data.trajectory import rel_pose
     from neuralrgbd_tpu.infer.export import export_frame, save_scene_path_info
     from neuralrgbd_tpu.infer.step import make_infer_step
-    from neuralrgbd_tpu.ops.camera import Camera, camera_from_K, rescale_K
-    from neuralrgbd_tpu.ops.dpv import resample_dpv
+    from neuralrgbd_tpu.ops.camera import camera_from_K, rescale_K
     from neuralrgbd_tpu.pose import dso
     from neuralrgbd_tpu.pose.lba import make_lba_program
 
@@ -148,91 +253,18 @@ def main(argv=None):
     lba_run = make_lba_program(cams_pyr, max_iter=args.LBA_max_iter,
                                step=args.LBA_step,
                                opt_vars=(args.opt_r, args.opt_t))
-    @jax.jit
-    def lba_maps(dpv_ref, pose_next):
-        """Depth + confidence regression for the LBA in ONE dispatch
-        (test_KVNet_LBA.py:414-423); results stay on device — they feed
-        straight into the jitted ``local_ba_direct``. The image-res (W=384)
-        resample is too wide for the banded Pallas kernel (single-vreg lane
-        gather, ops/pallas/resample.py); on TPU it rides the tiled MXU
-        kernel with an in-jit oct-gather fallback for extreme motion
-        (ops/pallas/resample_tiled.py; XLA 432 -> oct 146 -> tiled ~X ms,
-        PERF.md round 3)."""
-        if jax.default_backend() == "tpu":
-            from neuralrgbd_tpu.ops.pallas.resample_tiled import (
-                resample_dpv_wide)
-            dpv_kf = resample_dpv_wide(
-                dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
-                padding_value=math.log(1.0 / D))
-        else:
-            dpv_kf = resample_dpv(
-                dpv_ref, jnp.linalg.inv(pose_next), cam_img, d_candi,
-                padding_value=math.log(1.0 / D))
-        p_ref, p_kf = jnp.exp(dpv_ref), jnp.exp(dpv_kf)
-        return (jnp.einsum("dhw,d->hw", p_ref, d_candi),
-                jnp.exp(jnp.max(dpv_ref, 0)) ** 2,
-                jnp.einsum("dhw,d->hw", p_kf, d_candi),
-                jnp.exp(jnp.max(dpv_kf, 0)) ** 2)
+    lba_maps = make_lba_maps(cam_img, d_candi, D)
+    quantize_jit = jax.jit(quantize_maps)
 
-    @jax.jit
-    def quantize_maps(depth, conf):
-        # pgm contract quantization on device: one packed uint16 fetch
-        # (clipped so the XLA saturating cast == numpy's within range)
-        return jnp.stack([
-            jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16),
-            jnp.clip(conf * 1000.0, 0, 65535).astype(jnp.uint16)])
-
-    # ---- device-resident pose graph (round-4 de-stall) ----------------
-    # The host-owned steady state must FETCH the optimized poses every
-    # frame (np.asarray(lba_run(...))): frame t+1's window poses depend on
-    # frame t's LBA output, so the fetch is synchronous — the host idles
-    # through the whole device chain plus a ~31-35 ms relay round-trip,
-    # and the device idles through every host stage (measured 250 ms of
-    # 'lba' stage = the entire frame serialized; PERF.md "LBA pipeline").
-    # With pose_graph='device' the trajectory lives ON DEVICE as an
-    # (L, 4, 4) array and the whole steady-state frame — window rel-poses,
-    # KV-Net inference, export quantization, LBA depth/conf maps, the
-    # 3-scale LBA itself, and the pose-graph write-back
-    # (test_KVNet_LBA.py:414-476) — is ONE jitted dispatch with zero
-    # per-frame fetches; only the batched uint16 export chunks ride the
-    # tunnel. The math is unchanged (fp32 rel_pose = src @ inv(ref),
-    # homography.py:904-906); poses are fetched back once at the end.
+    # ---- device-resident pose graph (round-4 de-stall; see
+    # make_steady_frame's docstring for the rationale) -------------------
     pose_graph_dev = (args.pose_graph == "device"
                       or (args.pose_graph == "auto"
                           and jax.default_backend() == "tpu"))
     use_dso_R, use_dso_t = bool(args.use_dso_R), bool(args.use_dso_t)
     K_dev = jnp.asarray(traj.K_dpv[None].astype(np.float32))
-
-    @jax.jit
-    def steady_frame(params, extMs, ref_img, src_imgs, next_img, opt_imgs,
-                     bv_predict, bv_valid, idx, dso_rel):
-        """One fused steady-state frame on the device pose graph.
-
-        idx: dict of int32 index arrays — "ref"/"next"/"pnext" scalars,
-        "win" (2*t_win,), "pose"/"opt" (V,). Returns (bv_predict, updated
-        extMs, quantized (2, H, W) uint16 maps).
-        """
-        inv_ref = jnp.linalg.inv(extMs[idx["ref"]])
-        batch = {
-            "ref": ref_img[None],
-            "srcs": src_imgs[None],
-            "poses": (extMs[idx["win"]] @ inv_ref)[None],
-            "K": K_dev,
-            "pose_next": (extMs[idx["pnext"]] @ inv_ref)[None],
-        }
-        out = infer_step(params, batch, bv_predict, bv_valid)
-        dc = quantize_maps(out.depth[0], out.confidence[0])
-        pose_next = extMs[idx["next"]] @ inv_ref
-        _, _, dmap_kf, conf_kf = lba_maps(out.dpv_refined[0], pose_next)
-        rel_inits = extMs[idx["pose"]] @ jnp.linalg.inv(extMs[idx["next"]])
-        if use_dso_R:
-            rel_inits = rel_inits.at[-1, :3, :3].set(dso_rel[:3, :3])
-        if use_dso_t:
-            rel_inits = rel_inits.at[-1, :3, 3].set(dso_rel[:3, 3])
-        rel_opt = lba_run(next_img, opt_imgs, dmap_kf, conf_kf, rel_inits)
-        new_rows = jnp.einsum("vij,jk->vik", rel_opt, extMs[idx["next"]])
-        extMs = extMs.at[idx["opt"]].set(new_rows)
-        return out.bv_predict, extMs, dc
+    steady_frame = make_steady_frame(infer_step, lba_run, lba_maps, K_dev,
+                                     use_dso_R, use_dso_t)
 
     dev_extMs = None          # (L, 4, 4) on device; None => stale/unbuilt
 
@@ -242,10 +274,13 @@ def main(argv=None):
             else np.eye(4, dtype=np.float32) for m in traj_extMs]))
 
     def refresh_valid_mask():
-        # host-side validity bookkeeping (dso.valid_poses semantics);
-        # device iterations extend it incrementally — the indices the LBA
-        # writes are known without fetching the values
-        return [isinstance(m, np.ndarray) for m in traj_extMs]
+        # host-side validity bookkeeping (dso.valid_pose semantics,
+        # dso_io.py:262-272: identity = 'DSO did not return' and NaN poses
+        # are INVALID — init_traj_extMs identity-fills missing frames, so an
+        # isinstance check would pass everything); device iterations extend
+        # the mask incrementally — the indices the LBA writes are known
+        # without fetching the values
+        return [dso.valid_pose(m) for m in traj_extMs]
 
     valid_mask = refresh_valid_mask()
 
@@ -404,7 +439,7 @@ def main(argv=None):
         t2 = _time.perf_counter()
 
         queue_export(frame_cnt_out, ref_rec.img_raw,
-                     quantize_maps(out.depth[0], out.confidence[0]))
+                     quantize_jit(out.depth[0], out.confidence[0]))
         scene_path_info.append([frame_cnt_out, ref_rec.img_path])
         frame_cnt_out += 1
         t3 = _time.perf_counter()
@@ -486,6 +521,11 @@ def main(argv=None):
                 traj_extMs[i] = ext_final[i]
     save_scene_path_info(os.path.join(res_dir, "scene_path_info.txt"),
                          scene_path_info)
+    if args.save_poses:
+        np.savez(os.path.join(res_dir, "poses.npz"),
+                 extMs=np.stack([np.asarray(m, np.float64)
+                                 for m in traj_extMs]),
+                 valid=np.asarray([dso.valid_pose(m) for m in traj_extMs]))
     print(f"done: {frame_cnt_out} frames -> {res_dir}")
     if args.timing and timing["frames"]:
         n = timing["frames"]

@@ -60,6 +60,26 @@ def resolve_cache_features(requested: Optional[bool],
     return False, None
 
 
+def _auto_cache_features(requested: Optional[bool], params,
+                         chunked: bool = True,
+                         verbose: bool = True) -> bool:
+    """Uniform provenance-aware resolution for programmatic entry points
+    (VERDICT r4: the CLI guard alone left run_trajectory/
+    run_trajectories_parallel/make_rollout defaulting the cached-FE
+    deviation ON for torch-imported weights the accuracy gate never
+    covered). ``params`` carrying the torch-import provenance marker
+    (utils/torch_import.mark_torch_imported) resolve auto to OFF."""
+    from neuralrgbd_tpu.utils.torch_import import params_torch_imported
+
+    resolved, warn = resolve_cache_features(
+        requested, params_torch_imported(params))
+    if warn and verbose:
+        print(warn)
+    if resolved is None:
+        return chunked and jax.default_backend() == "tpu"
+    return bool(resolved)
+
+
 class _DeviceFrameCache:
     """Upload each video frame to the device ONCE.
 
@@ -407,10 +427,14 @@ def run_trajectory(
     the accuracy-gated deviation of PERF.md "Cached-feature rollout":
     holdout abs_rel 0.12434 cached vs 0.12437 exact on trained weights).
     Requires ``chunk_t > 1``. Default (None): ON on TPU when chunked,
-    OFF elsewhere (CPU keeps the reference's joint-window semantics)."""
+    OFF elsewhere (CPU keeps the reference's joint-window semantics) and
+    OFF for torch-imported params (provenance marker — the accuracy gate
+    covers weights trained in this repo only)."""
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
     if cache_features is None:
-        cache_features = chunk_t > 1 and jax.default_backend() == "tpu"
+        cache_features = _auto_cache_features(None, params,
+                                              chunked=chunk_t > 1,
+                                              verbose=verbose)
     fast_sweep, sweep_band = plan_sweep(traj, cfg, t_win_r, step)
     if chunk_t > 1:
         return _run_trajectory_chunked(
@@ -709,7 +733,8 @@ def run_trajectories_parallel(
     validity mask; every lane writes its own export contract. ``chunk_t``
     frames are scanned per sharded dispatch with in-jit window assembly
     (see ``_parallel_chunk_runner``). ``cache_features`` defaults like
-    ``run_trajectory``: ON on TPU when chunked, OFF elsewhere.
+    ``run_trajectory``: ON on TPU when chunked, OFF elsewhere and OFF for
+    torch-imported params (provenance marker).
 
     Returns the per-trajectory exported-frame counts.
     """
@@ -717,7 +742,9 @@ def run_trajectories_parallel(
 
     t_win_r = t_win_r if t_win_r is not None else cfg.t_win_r
     if cache_features is None:
-        cache_features = chunk_t > 1 and jax.default_backend() == "tpu"
+        cache_features = _auto_cache_features(None, params,
+                                              chunked=chunk_t > 1,
+                                              verbose=verbose)
     n = len(trajs)
     mesh = mesh or make_mesh(n)
 

@@ -20,7 +20,8 @@ from neuralrgbd_tpu.infer.step import make_infer_step
 def make_rollout(cfg: ModelConfig, jit: bool = True,
                  fast_sweep: bool | None = None, sweep_band: int = 8,
                  cache_features: bool | None = None,
-                 coarse_knet: int | None = None):
+                 coarse_knet: int | None = None,
+                 params=None):
     """Returns ``rollout(params, frames_batch, bv_predict0, bv_valid0)``.
 
     frames_batch: pytree with a leading time axis T over the per-step batch
@@ -41,9 +42,15 @@ def make_rollout(cfg: ModelConfig, jit: bool = True,
     contiguous step=1 window layout ([t-2, t-1, t+1, t+2] around ref t).
     Default (None): ON on TPU, OFF elsewhere (CPU is the torch-oracle
     parity backend, so it keeps the reference's joint-window semantics).
+    Pass ``params`` (the variables the rollout will run with) to make the
+    auto default provenance-aware: torch-imported weights (marked by
+    utils/torch_import) resolve to OFF — exact reference semantics — since
+    the accuracy gate covers weights trained in this repo only.
     """
     if cache_features is None:
-        cache_features = jax.default_backend() == "tpu"
+        from neuralrgbd_tpu.infer.loop import _auto_cache_features
+
+        cache_features = _auto_cache_features(None, params, chunked=True)
     step = make_infer_step(cfg, jit=False, fast_sweep=fast_sweep,
                            sweep_band=sweep_band, coarse_knet=coarse_knet,
                            with_features=cache_features)

@@ -186,15 +186,44 @@ def _strip_prefix(key: str) -> str:
 
 
 def import_torch_state_dict(state_dict, params, strict_shapes: bool = True,
-                            refine_net: str = "DPV"):
+                            refine_net: str = "DPV",
+                            mark_provenance: bool = True):
     """Map a torch state_dict (tensors or ndarrays) onto a flax param tree.
 
     Returns (new_params, report dict). The D-Net duplicates the feature
     extractor in the torch tree (``d_net.feature_extraction.*`` aliases
     ``feature_extractor.*``) — duplicates are skipped silently.
+
+    ``mark_provenance``: stamp the returned variables dict with a
+    ``provenance`` collection (``mark_torch_imported``) so inference
+    entry points default the accuracy-gated deviations (cached-FE) to
+    exact reference semantics for weights the gates never covered
+    (basic.py:245-252 joint-window BN). Flax ignores unused collections;
+    the marker survives tree_map/device_put/orbax round-trips.
     """
     name_map = build_name_map(refine_net)
-    return _import_with_map(state_dict, params, name_map, strict_shapes)
+    new_params, report = _import_with_map(state_dict, params, name_map,
+                                          strict_shapes)
+    if mark_provenance:
+        new_params = mark_torch_imported(new_params)
+    return new_params, report
+
+
+def mark_torch_imported(params):
+    """Stamp a variables dict as holding torch-imported weights."""
+    if isinstance(params, dict):
+        params = dict(params)
+        params["provenance"] = {"torch_imported": np.ones((), np.float32)}
+    return params
+
+
+def params_torch_imported(params) -> bool:
+    """True iff ``params`` carries the torch-import provenance marker."""
+    try:
+        marker = params["provenance"]["torch_imported"]
+    except (KeyError, TypeError, IndexError):
+        return False
+    return bool(np.any(np.asarray(marker)))
 
 
 def _import_with_map(state_dict, params, name_map, strict_shapes=True):
@@ -266,8 +295,11 @@ def import_psmnet_state_dict(state_dict, params):
         if key.startswith("feature_extraction."):
             remapped["feature_extractor." + key] = v
     # import_torch_state_dict is inherently partial: unmatched checkpoint
-    # keys are reported, untouched leaves keep their current values
-    return import_torch_state_dict(remapped, params)
+    # keys are reported, untouched leaves keep their current values.
+    # No provenance mark: a PSMNet warm-start is a TRAINING initializer —
+    # the weights that ship are trained in this repo, which the deviation
+    # gates cover.
+    return import_torch_state_dict(remapped, params, mark_provenance=False)
 
 
 def load_torch_checkpoint(path: str):

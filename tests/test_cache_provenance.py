@@ -87,3 +87,100 @@ def test_cli_defaults_cache_off_for_torch_import(tmp_path, monkeypatch,
     ])
     assert captured["cache_features"] is True
     assert "WARNING" in capsys.readouterr().out
+
+
+def test_provenance_marker_roundtrip():
+    """The marker survives tree_map/device_put and is ignored by flax."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.utils.torch_import import (mark_torch_imported,
+                                                   params_torch_imported)
+
+    params = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    assert not params_torch_imported(params)
+    marked = mark_torch_imported(params)
+    assert params_torch_imported(marked)
+    assert not params_torch_imported(params)          # original untouched
+    # survives the transforms params routinely ride through
+    assert params_torch_imported(jax.tree.map(jnp.asarray, marked))
+    assert params_torch_imported(jax.device_put(marked))
+    assert params_torch_imported(None) is False
+    assert params_torch_imported([1, 2]) is False
+
+
+def test_import_torch_state_dict_marks_provenance():
+    from neuralrgbd_tpu.utils.torch_import import (import_torch_state_dict,
+                                                   params_torch_imported)
+
+    params = {"params": {"feature_extractor": {
+        "firstconv_0": {"kernel": np.zeros((3, 3, 3, 4), np.float32)}}}}
+    new_params, _ = import_torch_state_dict({}, params)
+    assert params_torch_imported(new_params)
+    new_params, _ = import_torch_state_dict({}, params,
+                                            mark_provenance=False)
+    assert not params_torch_imported(new_params)
+
+
+def test_programmatic_auto_resolves_off_for_torch_params(capsys,
+                                                         monkeypatch):
+    """VERDICT r4 item 5: run_trajectory/run_trajectories_parallel/
+    make_rollout must default torch-imported params to exact semantics
+    — the guard lives in the programmatic layer now, not just the CLI."""
+    import neuralrgbd_tpu.infer.loop as loop_mod
+    from neuralrgbd_tpu.infer.loop import _auto_cache_features
+    from neuralrgbd_tpu.utils.torch_import import mark_torch_imported
+
+    own = {"params": {}}
+    imported = mark_torch_imported(own)
+
+    # own weights: backend default (CPU under tests => False)
+    assert _auto_cache_features(None, own) is False
+    # torch-imported: OFF regardless of backend, with the warning
+    assert _auto_cache_features(None, imported) is False
+    assert "torch checkpoint" in capsys.readouterr().out
+    # explicit request still wins
+    assert _auto_cache_features(True, imported) is True
+    assert _auto_cache_features(False, imported) is False
+
+    # the discriminating case: a TPU backend would default own weights ON,
+    # and torch-imported weights must STILL resolve OFF
+    monkeypatch.setattr(loop_mod.jax, "default_backend", lambda: "tpu")
+    assert _auto_cache_features(None, own) is True
+    assert _auto_cache_features(None, imported) is False
+    assert _auto_cache_features(None, own, chunked=False) is False
+
+
+def test_make_rollout_exact_for_torch_params():
+    """make_rollout(params=torch-imported) builds the exact (joint-window
+    BN) rollout: its output matches make_rollout(cache_features=False)
+    exactly on the same inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralrgbd_tpu.config import ModelConfig
+    from neuralrgbd_tpu.data import synthetic_batch
+    from neuralrgbd_tpu.infer.rollout import make_rollout
+    from neuralrgbd_tpu.train import create_train_state
+    from neuralrgbd_tpu.config import TrainConfig
+    from neuralrgbd_tpu.utils.torch_import import mark_torch_imported
+
+    cfg = ModelConfig(feature_dim=16, kv_feature_dim=16, ndepth=8,
+                      d_min=0.5, d_max=4.0)
+    batch, _ = synthetic_batch(cfg, n_lanes=1, img_hw=(32, 48), seed=0)
+    batch = jax.tree.map(jnp.asarray, batch)
+    state = create_train_state(cfg, TrainConfig(lr=1e-4), batch)
+    params = mark_torch_imported({"params": state.params["params"]})
+
+    T, D = 3, cfg.ndepth
+    frames = jax.tree.map(
+        lambda x: jnp.stack([x] * T), batch)
+    bvp0 = jnp.full((1, D, 8, 12), -np.log(D), jnp.float32)
+    valid0 = jnp.zeros((1,), bool)
+
+    d_auto, _, _ = make_rollout(cfg, params=params)(
+        params, frames, bvp0, valid0)
+    d_exact, _, _ = make_rollout(cfg, cache_features=False)(
+        params, frames,
+        jnp.full((1, D, 8, 12), -np.log(D), jnp.float32), valid0)
+    np.testing.assert_array_equal(np.asarray(d_auto), np.asarray(d_exact))
