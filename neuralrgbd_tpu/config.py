@@ -63,6 +63,16 @@ class ModelConfig:
     # K-Net"). 1 = exact reference semantics. Differentiable, so training
     # can fine-tune with it enabled.
     knet_coarse_d: int = 1
+    # Per-frame BatchNorm statistics in the feature extractor (deviation,
+    # default off): the reference featurizes the V+1 window jointly, so BN
+    # statistics span the window (basic.py:245-252); the cached-feature
+    # rollout (infer/rollout.make_rollout(cache_features=True)) featurizes
+    # each frame alone (B=1 statistics) — the property that makes caching
+    # coherent. Setting this True makes the MODEL itself use per-frame
+    # statistics, so TRAINING optimizes the exact deployment semantics
+    # (VERDICT r4 item 3). Inference with cache_features=True is then the
+    # semantics the weights were trained under, not a deviation.
+    fe_per_frame_bn: bool = False
     dtype: str = "float32"         # compute dtype for convs ("bfloat16" ok)
     # Inference-only conv compute dtype, applied by make_infer_step on TPU
     # (training and the CPU parity/test backend keep ``dtype``). Validated

@@ -76,8 +76,15 @@ def export_frame(res_dir: str, batch_idx: int, img_raw_u8: np.ndarray,
     inference loop quantizes on device to shrink the host transfer); float
     inputs get the contract's (x * scale).astype(uint16) here."""
     os.makedirs(res_dir, exist_ok=True)
+    # compress_level=1: zlib's fastest setting. The default (6) costs
+    # ~3-4x the CPU for ~15% smaller files, and on this one-core host the
+    # PNG encode competes with the dispatch loop for the same core
+    # (PERF.md "Production loop at the deployment defaults" — the export
+    # worker is part of the measured host floor). Still a conformant PNG;
+    # NRGBD_PNG_LEVEL overrides.
     PIL.Image.fromarray(img_raw_u8).save(
-        os.path.join(res_dir, f"img_{batch_idx:05d}.png")
+        os.path.join(res_dir, f"img_{batch_idx:05d}.png"),
+        compress_level=int(os.environ.get("NRGBD_PNG_LEVEL", "1")),
     )
 
     def quantize(a, scale):

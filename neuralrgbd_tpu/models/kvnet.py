@@ -103,7 +103,8 @@ class KVNet(nn.Module):
         # ---- D-Net: features for all V+1 frames in one batch ----
         # (basic.py:245-252 — BN uses the joint batch statistics)
         frames = jnp.concatenate([src_frames, ref_frame[None]], axis=0)
-        use_packed_fe = (self.packed_fe and W % 8 == 0
+        use_packed_fe = (self.packed_fe and not cfg.fe_per_frame_bn
+                         and W % 8 == 0
                          and not self.is_initializing())
         if precomputed is not None and not self.is_initializing():
             layer1, feat = precomputed
@@ -114,10 +115,19 @@ class KVNet(nn.Module):
                 self.variables["params"]["feature_extractor"], frames,
                 feature_dim=cfg.feature_dim, dtype=dtype)
         else:
-            layer1, feat = FeatureExtractor(
+            fe = FeatureExtractor(
                 feature_dim=cfg.feature_dim, multi_scale=True, dtype=dtype,
                 name="feature_extractor",
-            )(frames)
+            )
+            if cfg.fe_per_frame_bn:
+                # per-frame BN statistics (B=1 per call; params shared via
+                # the module name) — the cached-feature-rollout semantics,
+                # trainable end to end (ModelConfig.fe_per_frame_bn)
+                outs = [fe(frames[i:i + 1]) for i in range(frames.shape[0])]
+                layer1 = jnp.concatenate([o[0] for o in outs], axis=0)
+                feat = jnp.concatenate([o[1] for o in outs], axis=0)
+            else:
+                layer1, feat = fe(frames)
         feat_ref = feat[-1]          # (h, w, F)
         feat_srcs = feat[:-1]        # (V, h, w, F)
         layer1_ref = layer1[-1]      # (H/2, W/2, 32)

@@ -1,24 +1,37 @@
 """Measure the pose-free (DSO + LBA) pipeline on the real TPU.
 
-VERDICT round-2 item 5: the reference's headline demo
-(test_KVNet_LBA.py:306-528) needs a perf datum like the given-poses path.
-Drives cli/test_kvnet_lba at the reference operating point (384x256, D=64,
-LBA 20 it x 3 scales) on a synthetic scene with a DSO-format result derived
-from the true poses; pass 1 compiles, pass 2 is the measurement (the CLI's
---timing flag prints the per-stage steady-state budget).
+VERDICT round-4 item 1: the reference's headline demo
+(test_KVNet_LBA.py:306-528) needs a published end-to-end FPS for BOTH
+pose-graph arms. Drives cli/test_kvnet_lba at the reference operating
+point (384x256, D=64, LBA 20 it x 3 scales, V=4) on a synthetic scene
+with a DSO-format result derived from the true poses.
+
+The CLI's --timing flag excludes the first 2 compile-polluted steady
+frames and reports wall-clock FPS through the final export flush (async
+dispatches make per-stage host times enqueue costs, not device times, on
+the device pose graph), so ONE pass per arm is an honest measurement.
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_lba_pipeline.py
+Env: LBA_BENCH_FRAMES (default 80), LBA_BENCH_ARMS (default host,device),
+     LBA_BENCH_COARSE (default 1 = exact K-Net semantics).
 """
+import contextlib
+import io
 import json
 import os
+import re
 import tempfile
 import time
 
-import numpy as np
-
 from neuralrgbd_tpu.data.synthetic import write_scannet_scene
 
-N_FRAMES = int(os.environ.get("LBA_BENCH_FRAMES", "60"))
+N_FRAMES = int(os.environ.get("LBA_BENCH_FRAMES", "80"))
+ARMS = os.environ.get("LBA_BENCH_ARMS", "host,device").split(",")
+COARSE = os.environ.get("LBA_BENCH_COARSE", "1")
+# trained weights matter here beyond accuracy: with random init the LBA
+# optimizes garbage depth maps and can diverge to NaN poses, which the
+# host arm's validity gate then skips (deflating its frame count)
+MODEL = os.environ.get("LBA_BENCH_MODEL", "")
 
 root = os.path.join(tempfile.gettempdir(),
                     f"lba_bench_capture_{N_FRAMES}")
@@ -40,24 +53,59 @@ with open(result_path, "w") as f:
 
 from neuralrgbd_tpu.cli.test_kvnet_lba import main  # noqa: E402
 
-argv = [
-    "--exp_name", "bench",
-    "--img_glob", os.path.join(scene, "*.color.jpg"),
-    "--intrin_path", intrin_path,
-    "--dso_res_path", result_path,
-    "--ndepth", "64", "--feature_dim", "64",
-    "--d_min", "0.1", "--d_max", "5.0",
-    "--img_width", "384", "--img_height", "256",
-    "--LBA_max_iter", "20", "--LBA_step", "0.01",
-    "--res_dir", os.path.join(tempfile.gettempdir(), "lba_bench_res"),
-    "--timing",
-]
 
-t0 = time.time()
-n = main(argv)
-print(f"pass 1 (compile): {n} frames in {time.time() - t0:.1f}s", flush=True)
-t0 = time.time()
-n = main(argv)
-dt = time.time() - t0
-print(f"pass 2: {n} frames in {dt:.1f}s => {n / dt:.2f} FPS "
-      f"(incl first-window bootstrap)", flush=True)
+def run_arm(arm: str):
+    argv = [
+        "--exp_name", f"bench_{arm}",
+        "--img_glob", os.path.join(scene, "*.color.jpg"),
+        "--intrin_path", intrin_path,
+        "--dso_res_path", result_path,
+        "--ndepth", "64", "--feature_dim", "64",
+        "--d_min", "0.1", "--d_max", "5.0",
+        "--img_width", "384", "--img_height", "256",
+        "--LBA_max_iter", "20", "--LBA_step", "0.01",
+        "--knet_coarse_d", COARSE,
+        "--res_dir", os.path.join(tempfile.gettempdir(), "lba_bench_res"),
+        "--pose_graph", arm,
+        "--timing",
+    ]
+    if MODEL:
+        argv += ["--model_path", MODEL]
+    t0 = time.time()
+    buf = io.StringIO()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            buf.write(s)
+            import sys
+            sys.__stdout__.write(s)
+            return len(s)
+
+        def flush(self):
+            import sys
+            sys.__stdout__.flush()
+
+    with contextlib.redirect_stdout(Tee()):
+        n = main(argv)
+    wall = time.time() - t0
+    out = buf.getvalue()
+    m = re.search(r"TIMING (.*)", out)
+    stats = {"arm": arm, "frames_exported": n, "total_wall_s": round(wall, 1)}
+    if m:
+        for kv in m.group(1).split():
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                v = v.replace("ms", "")
+                try:
+                    stats[k] = float(v)
+                except ValueError:
+                    pass
+    print("LBA_BENCH " + json.dumps(stats), flush=True)
+    return stats
+
+
+results = [run_arm(a.strip()) for a in ARMS if a.strip()]
+print(json.dumps({"operating_point":
+                  {"img": "384x256", "D": 64, "lba": "20it x 3 scales",
+                   "V": 4, "frames": N_FRAMES, "coarse_knet": COARSE},
+                  "arms": results}, indent=1))

@@ -33,6 +33,33 @@ inits = np.stack([np.eye(4, dtype=np.float32)] * V)
 inits[:, :3, 3] = 0.02 * rng.randn(V, 3)
 inits = jnp.asarray(inits)
 
+# LBA_REAL_RES=<result dir>: feed a REAL exported depth/conf (d_/conf_
+# pgm, meters*1000) instead of the i.i.d.-random map — device time of the
+# warp gathers can be CONTENT-dependent, and the random map is not
+# representative of the pipeline's steady state (round-5 finding: the
+# trained-weight LBA CLI measured ~10x the random-map slope number).
+import os as _os
+
+if _os.environ.get("LBA_REAL_RES"):
+    from neuralrgbd_tpu.infer.export import read_pgm
+
+    res = _os.environ["LBA_REAL_RES"]
+    idx = int(_os.environ.get("LBA_REAL_IDX", "20"))
+    dmap = jnp.asarray(read_pgm(
+        _os.path.join(res, f"d_{idx:05d}.pgm")).astype(np.float32) / 1000.0)
+    conf = jnp.asarray(read_pgm(
+        _os.path.join(res, f"conf_{idx:05d}.pgm")).astype(np.float32)
+        / 1000.0)
+    import PIL.Image
+
+    img = np.asarray(PIL.Image.open(
+        _os.path.join(res, f"img_{idx:05d}.png")), np.float32) / 255.0
+    img_ref = jnp.asarray(img)
+    imgs_src = jnp.asarray(np.stack([img] * V))
+    print(f"REAL maps from {res} idx {idx}: d range "
+          f"[{float(dmap.min()):.3f},{float(dmap.max()):.3f}] conf mean "
+          f"{float(conf.mean()):.3f}", flush=True)
+
 
 def timed(label, fn, n1=3, n2=10, reps=3):
     fn()  # compile

@@ -50,6 +50,10 @@ p.add_argument("--lr_decay_steps", type=int, default=0,
 p.add_argument("--lr_warmup_steps", type=int, default=0)
 p.add_argument("--knet_coarse_d", type=int, default=1,
                help="train with the coarse-D K-Net deviation enabled")
+p.add_argument("--fe_per_frame_bn", action="store_true",
+               help="train with per-frame FE BatchNorm statistics — the "
+                    "cached-feature deployment semantics "
+                    "(ModelConfig.fe_per_frame_bn)")
 args = p.parse_args()
 
 if args.mesh:
@@ -78,7 +82,8 @@ if args.mesh:
     img_wh, n_train, n_frames, batch = (128, 96), 8, 16, 8
     kind = "plane"
 else:
-    cfg = ModelConfig(knet_coarse_d=args.knet_coarse_d)  # 384x256, D=64
+    cfg = ModelConfig(knet_coarse_d=args.knet_coarse_d,  # 384x256, D=64
+                      fe_per_frame_bn=args.fe_per_frame_bn)
     img_wh, n_frames, batch = (384, 256), 24, 1
     n_train = args.scenes or (48 if args.wide else 5)
     kind = args.kind or ("mixed3" if args.wide else "plane")
