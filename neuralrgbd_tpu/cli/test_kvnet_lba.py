@@ -246,7 +246,36 @@ def main(argv=None):
     from neuralrgbd_tpu.cli.test_kvnet import _init_or_load_params
 
     params, _torch_imported = _init_or_load_params(cfg, args, traj)
-    infer_step = make_infer_step(cfg)
+    # Sweep-band planning (round 5): the fused Pallas sweep is exact only
+    # within its static band precondition (ops/pallas/sweep_fused.py), and
+    # unlike the production loop (infer/loop.plan_sweep) this CLI used to
+    # assume band 8 unchecked — both pose-graph arms share the kernel, so
+    # the host-vs-device parity tests cannot catch a violation. Plan on a
+    # metric-rescaled copy of the DSO trajectory (the loop rescales in
+    # place at the first valid window; planning must see the same scale),
+    # then take one band of headroom for the LBA's subsequent pose
+    # refinements, which stay photometrically close to the DSO inits.
+    from neuralrgbd_tpu.infer.loop import plan_sweep
+
+    fast_sweep, sweep_band = None, 8
+    try:
+        plan_ext = copy.deepcopy(traj_extMs)
+        plan_scale = dso.estimate_metric_scale(plan_ext, focal_length,
+                                               cfg.d_max, step)
+        dso.rescale_traj_t(plan_ext, plan_scale)
+        orig_loader = traj.pose_loader
+        traj.pose_loader = lambda i: (
+            plan_ext[i] if dso.valid_pose(plan_ext[i])
+            else np.full((4, 4), np.nan))
+        fast_sweep, sweep_band = plan_sweep(traj, cfg, t_win_r, step)
+        traj.pose_loader = orig_loader
+        if fast_sweep and sweep_band < 16:
+            sweep_band *= 2          # headroom for LBA pose refinement
+    except Exception as e:  # noqa: BLE001 — planning is best-effort
+        print(f"sweep planning failed ({type(e).__name__}: {e}); "
+              "keeping defaults", flush=True)
+    infer_step = make_infer_step(cfg, fast_sweep=fast_sweep,
+                                 sweep_band=sweep_band)
     # one fused program: pyramid + chart + 3-scale Adam + pose assembly
     # (pose/lba.make_lba_program) — 1 dispatch per frame instead of ~20
     # pool/convert enqueues at ~2-5 ms of host time each
