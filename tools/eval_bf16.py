@@ -24,6 +24,9 @@ p.add_argument("--kind", type=str, default="plane",
                help="'mixed' + --n_scenes 26 --scenes 24 25 evaluates the"
                     " round-3 wide-campaign holdouts")
 p.add_argument("--n_scenes", type=int, default=6)
+p.add_argument("--knet_coarse_d", type=int, default=1,
+               help="run both dtype arms at this K-Net coarse-D setting "
+                    "(2 = the round-5 deployment-trained semantics)")
 args = p.parse_args()
 
 from neuralrgbd_tpu.config import ModelConfig, TrainConfig
@@ -83,8 +86,10 @@ def evaluate(cfg, tag):
 # infer_dtype=None: make_infer_step otherwise promotes the default config
 # to bf16 on TPU (the round-2 default flip), which would make both arms
 # identical — the fp32 arm must pin the training dtype explicitly.
-m32, p32 = evaluate(ModelConfig(infer_dtype=None), "fp32")
-m16, p16 = evaluate(ModelConfig(dtype="bfloat16"), "bf16")
+m32, p32 = evaluate(ModelConfig(infer_dtype=None,
+                                knet_coarse_d=args.knet_coarse_d), "fp32")
+m16, p16 = evaluate(ModelConfig(dtype="bfloat16",
+                                knet_coarse_d=args.knet_coarse_d), "bf16")
 
 dd = np.stack([np.abs(a - b) for a, b in zip(p32, p16)])
 print(json.dumps({
