@@ -182,7 +182,10 @@ def _init_or_load_params(cfg, args, traj):
                   f"{report['unmatched_torch_keys'][:8]} ...")
         if report["shape_mismatches"]:
             print(f"  SHAPE MISMATCHES: {report['shape_mismatches'][:8]}")
-        return params, True
+        # torch tensors/ndarrays live on host — commit to device once so
+        # per-frame dispatches don't re-upload the param set (see
+        # utils/checkpoint.restore_params_partial)
+        return jax.device_put(params), True
     elif args.model_path:
         from neuralrgbd_tpu.utils.checkpoint import restore_params_partial
 

@@ -119,4 +119,10 @@ def restore_params_partial(path: str, params):
     leaves = [out[jax.tree_util.keystr(p)] for p, _ in
               jax.tree_util.tree_flatten_with_path(params)[0]]
     treedef = jax.tree_util.tree_structure(params)
-    return jax.tree_util.tree_unflatten(treedef, leaves), n_hit
+    # Commit the restored leaves to device NOW: orbax returns host numpy
+    # arrays, and passing those into a jitted step re-uploads the ENTIRE
+    # param set on EVERY dispatch (~0.5-1 s/call through this
+    # environment's ~37 MB/s tunnel — the round-5 LBA-pipeline
+    # pathology). device_put once makes every later dispatch zero-copy.
+    tree = jax.device_put(jax.tree_util.tree_unflatten(treedef, leaves))
+    return tree, n_hit
