@@ -60,11 +60,13 @@ rbatch = {
     "pose_next": (ext[ref_indx + 1] @ inv_ref)[None].astype(np.float32),
 }
 
-# trained params (match the LBA CLI)
+# trained params (match the LBA CLI). NOTE: keep the random-init params
+# aside BEFORE restoring — an earlier revision overwrote `state` here, so
+# its "random-init" row silently timed the trained params too.
 from neuralrgbd_tpu.utils.checkpoint import restore_params_only  # noqa: E402
 
-state = restore_params_only(MODEL, state)
-params_trained = state.params
+params_random = state.params
+params_trained = restore_params_only(MODEL, state).params
 
 keys = ("ref", "srcs", "poses", "K", "pose_next")
 rollout = make_rollout(cfg, jit=False, fast_sweep=True, sweep_band=8,
@@ -103,7 +105,7 @@ def timeit(label, frames, params, reps=3):
 
 
 timeit("bench synthetic batch, random-init params",
-       stackT(bbatch), state.params)
+       stackT(bbatch), params_random)
 timeit("bench synthetic batch, TRAINED params",
        stackT(bbatch), params_trained)
 timeit("capture batch (all real fields), TRAINED",
