@@ -71,11 +71,13 @@ def main():
         "BENCH_CACHE_FE", "1" if jax.default_backend() == "tpu" else "0")))
     # Coarse-D K-Net (accuracy-gated deviation, PERF.md "Coarse-D K-Net"):
     # the TPU default runs the K-Net at D/2 with the gain trilinearly
-    # D-upsampled (the reference's own basic.py:128-139 mechanism). Gate on
-    # the round-4 trained weights (tools/eval_coarse_knet.py, 3 holdouts):
-    # abs_rel exact 0.20106 vs deployment (coarse + cached FE) 0.20311,
-    # delta1 0.652 vs 0.649, mean |ddepth| 4.8 mm. BENCH_COARSE_KNET=1
-    # restores exact reference K-Net semantics.
+    # D-upsampled (the reference's own basic.py:128-139 mechanism). Round-5
+    # gate on deployment-TRAINED weights (tools/eval_coarse_knet.py, 9
+    # never-trained holdout scenes): abs_rel exact 0.18883 vs deployment
+    # (coarse + cached FE) 0.18878, delta1 0.72507 vs 0.72513, mean
+    # |ddepth| 0.8 mm — training with the deviations active erased the
+    # gap (round-4 weights: 4.8 mm). BENCH_COARSE_KNET=1 restores exact
+    # reference K-Net semantics.
     coarse = int(os.environ.get(
         "BENCH_COARSE_KNET", "2" if jax.default_backend() == "tpu" else "1"))
     rollout = make_rollout(cfg, jit=False, fast_sweep=fast_sweep,
