@@ -727,14 +727,20 @@ def run_trajectories_parallel(
     chunk_t: int = 8,
     cache_features: bool | None = None,
 ):
-    """Data-parallel inference: one trajectory per mesh device, stepping in
-    lockstep (the reference also ran its test model under DataParallel,
+    """Data-parallel inference: trajectories mapped over the mesh, stepping
+    in lockstep (the reference also ran its test model under DataParallel,
     test_KVNet.py:163). Shorter trajectories stop contributing via the
     validity mask; every lane writes its own export contract. ``chunk_t``
     frames are scanned per sharded dispatch with in-jit window assembly
     (see ``_parallel_chunk_runner``). ``cache_features`` defaults like
     ``run_trajectory``: ON on TPU when chunked, OFF elsewhere and OFF for
     torch-imported params (provenance marker).
+
+    More lanes than devices is supported: lanes are block-mapped onto the
+    mesh (lane i -> device i // (n_lanes / n_dev)), matching the contiguous
+    blocks of ``P("data")`` sharding; n_lanes must divide evenly over the
+    mesh. With ``mesh=None`` the largest divisor of n_lanes that fits the
+    available devices is used (on one chip, all lanes batch onto it).
 
     Returns the per-trajectory exported-frame counts.
     """
@@ -746,7 +752,15 @@ def run_trajectories_parallel(
                                               chunked=chunk_t > 1,
                                               verbose=verbose)
     n = len(trajs)
-    mesh = mesh or make_mesh(n)
+    if mesh is None:
+        n_dev = len(jax.devices())
+        mesh = make_mesh(max(d for d in range(1, min(n, n_dev) + 1)
+                             if n % d == 0))
+    m_dev = int(mesh.devices.size)
+    if n % m_dev:
+        raise ValueError(
+            f"{n} lanes do not divide evenly over the {m_dev}-device mesh")
+    per_dev = n // m_dev
 
     D = cfg.ndepth
     w_dpv, h_dpv = trajs[0].dpv_size_wh
@@ -783,7 +797,7 @@ def run_trajectories_parallel(
             futures.pop(0).result()
 
     lane_devices = list(mesh.devices.flat)
-    caches = [_DeviceFrameCache(device=lane_devices[i % len(lane_devices)])
+    caches = [_DeviceFrameCache(device=lane_devices[i // per_dev])
               for i in range(n)]
 
     lo = t_win_r * step
@@ -810,13 +824,14 @@ def run_trajectories_parallel(
     for c0 in range(lo, hi, chunk_t):
         t_real = min(chunk_t, hi - c0)
         base = c0 - t_win_r * step
-        # one contiguous u8 frame buffer per lane, already on its device
-        shards = []
-        for i, t in enumerate(trajs):
-            shards.append(jnp.stack([
-                caches[i].get_raw(t, min(max(base + j, 0), len(t) - 1))
-                for j in range(n_frames_c)
-            ])[None])
+        # one contiguous u8 frame buffer per lane, already on its device;
+        # one SHARD per mesh device = that device's block of per_dev lanes
+        lane_stacks = [jnp.stack([
+            caches[i].get_raw(t, min(max(base + j, 0), len(t) - 1))
+            for j in range(n_frames_c)
+        ]) for i, t in enumerate(trajs)]
+        shards = [jnp.stack(lane_stacks[k * per_dev:(k + 1) * per_dev])
+                  for k in range(m_dev)]
         frames_u8 = jax.make_array_from_single_device_arrays(
             (n,) + shards[0].shape[1:], NamedSharding(mesh, P("data")),
             shards)

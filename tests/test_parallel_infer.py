@@ -97,3 +97,39 @@ def test_run_trajectories_parallel_cached_features(tmp_path):
         b = read_pgm(os.path.join(solo_dir, f"d_{i:05d}.pgm"))
         np.testing.assert_allclose(a.astype(np.int64), b.astype(np.int64),
                                    atol=1)
+
+
+def test_run_trajectories_parallel_more_lanes_than_devices(tmp_path):
+    """4 ragged lanes block-mapped onto a 2-device mesh (lane i -> device
+    i // 2): the one-chip multi-trajectory shape (tools/bench_multi_traj.py)
+    where every lane batches onto the same device. Each lane's exports must
+    match its own single-lane run exactly."""
+    from neuralrgbd_tpu.infer.export import read_pgm
+    from neuralrgbd_tpu.infer.loop import (run_trajectories_parallel,
+                                           run_trajectory)
+    from neuralrgbd_tpu.parallel import make_mesh
+    from neuralrgbd_tpu.train import create_train_state
+
+    lengths = [10, 8, 9, 11]
+    trajs = []
+    for li, L in enumerate(lengths):
+        root = str(tmp_path / f"s{li}")
+        write_scannet_scene(root, n_frames=L, seed=li)
+        trajs.append(make_trajectory(0, 5, root, img_size_wh=IMG_WH,
+                                     d_candi=CFG.d_candi))
+    sample, _, _ = window_batch(trajs[0], 2, 2, with_labels=True)
+    state = create_train_state(CFG, TrainConfig(), sample)
+
+    res_dirs = [str(tmp_path / f"res{li}") for li in range(4)]
+    counts = run_trajectories_parallel(
+        state.params, CFG, trajs, res_dirs, mesh=make_mesh(2), verbose=False)
+    assert counts == [L - 5 for L in lengths]
+
+    for li in (0, 3):                      # one lane per device block
+        solo = str(tmp_path / f"solo{li}")
+        run_trajectory(state.params, CFG, trajs[li], solo, verbose=False)
+        for i in range(counts[li]):
+            a = read_pgm(os.path.join(res_dirs[li], f"d_{i:05d}.pgm"))
+            b = read_pgm(os.path.join(solo, f"d_{i:05d}.pgm"))
+            np.testing.assert_allclose(a.astype(np.int64),
+                                       b.astype(np.int64), atol=1)
