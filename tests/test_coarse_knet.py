@@ -83,6 +83,26 @@ def test_coarse_knet_composes_with_paired():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_coarse_knet_d4_runs_and_deviates():
+    """cd=4 (K-Net at D/4): same invariants as cd=2 — the round-5 bench arm.
+    Uses ndepth=16 so the K-Net's two stride-2 D-downsamples see D>=4."""
+    cfg, state, b = _setup(ndepth=16)
+    valid = jnp.ones((1,), bool)
+    exact = make_infer_step(cfg, fast_sweep=False)
+    c2 = make_infer_step(cfg, fast_sweep=False, coarse_knet=2)
+    c4 = make_infer_step(cfg, fast_sweep=False, coarse_knet=4)
+    o_e = exact(state.params, b, _bvp(16), valid)
+    o_2 = c2(state.params, b, _bvp(16), valid)
+    o_4 = c4(state.params, b, _bvp(16), valid)
+    for f in o_4:
+        assert np.isfinite(np.asarray(f)).all()
+    assert float(jnp.max(o_4.dpv)) <= 1e-5
+    # deviates from exact AND from cd=2 (a genuinely different arm)
+    assert float(jnp.abs(o_4.dpv - o_e.dpv).max()) > 1e-6
+    assert float(jnp.abs(o_4.dpv - o_2.dpv).max()) > 1e-6
+    assert o_4.depth.shape == o_e.depth.shape
+
+
 def test_coarse_knet_must_divide_ndepth():
     cfg, state, b = _setup()
     valid = jnp.ones((1,), bool)
