@@ -18,6 +18,7 @@ import argparse
 import copy
 import math
 import os
+import threading
 
 import numpy as np
 
@@ -157,9 +158,25 @@ def make_steady_frame(infer_step, lba_run, lba_maps, K_dev,
     per-frame fetches; only the batched uint16 export chunks ride the
     tunnel. The math is unchanged (fp32 rel_pose = src @ inv(ref),
     homography.py:904-906); poses are fetched back once at the end.
+
+    Relay de-stall (round 5): frames arrive as UINT8 device arrays —
+    4x fewer relay bytes per upload than the host-normalized float
+    images — and are ImageNet-normalized IN-JIT with the exact host
+    expression ((u8/255 - mean)/std, data/preprocess.py:31-33, the
+    proven infer/loop.py `_chunk_runner` pattern); window/opt frames
+    ride in as TUPLES and are stacked inside the jit, so the host
+    enqueues no per-frame stack ops.
     """
     import jax
     import jax.numpy as jnp
+
+    from neuralrgbd_tpu.data import preprocess as pp
+
+    mean = jnp.asarray(pp.IMAGENET_MEAN)
+    std = jnp.asarray(pp.IMAGENET_STD)
+
+    def norm(u8):
+        return (u8.astype(jnp.float32) / 255.0 - mean) / std
 
     @jax.jit
     def steady_frame(params, extMs, ref_img, src_imgs, next_img, opt_imgs,
@@ -167,13 +184,14 @@ def make_steady_frame(infer_step, lba_run, lba_maps, K_dev,
         """One fused steady-state frame on the device pose graph.
 
         idx: dict of int32 index arrays — "ref"/"next"/"pnext" scalars,
-        "win" (2*t_win,), "pose"/"opt" (V,). Returns (bv_predict, updated
-        extMs, quantized (2, H, W) uint16 maps).
+        "win" (2*t_win,), "pose"/"opt" (V,). ref/next are (H, W, 3) uint8;
+        src/opt are V-tuples of (H, W, 3) uint8. Returns (bv_predict,
+        updated extMs, quantized (2, H, W) uint16 maps).
         """
         inv_ref = jnp.linalg.inv(extMs[idx["ref"]])
         batch = {
-            "ref": ref_img[None],
-            "srcs": src_imgs[None],
+            "ref": norm(ref_img)[None],
+            "srcs": jnp.stack([norm(s) for s in src_imgs])[None],
             "poses": (extMs[idx["win"]] @ inv_ref)[None],
             "K": K_dev,
             "pose_next": (extMs[idx["pnext"]] @ inv_ref)[None],
@@ -187,7 +205,8 @@ def make_steady_frame(infer_step, lba_run, lba_maps, K_dev,
             rel_inits = rel_inits.at[-1, :3, :3].set(dso_rel[:3, :3])
         if use_dso_t:
             rel_inits = rel_inits.at[-1, :3, 3].set(dso_rel[:3, 3])
-        rel_opt = lba_run(next_img, opt_imgs, dmap_kf, conf_kf, rel_inits)
+        rel_opt = lba_run(norm(next_img), jnp.stack([norm(o) for o in opt_imgs]),
+                          dmap_kf, conf_kf, rel_inits)
         new_rows = jnp.einsum("vij,jk->vik", rel_opt, extMs[idx["next"]])
         extMs = extMs.at[idx["opt"]].set(new_rows)
         return out.bv_predict, extMs, dc
@@ -212,6 +231,7 @@ def main(argv=None):
     from neuralrgbd_tpu.ops.camera import camera_from_K, rescale_K
     from neuralrgbd_tpu.pose import dso
     from neuralrgbd_tpu.pose.lba import make_lba_program
+    from neuralrgbd_tpu.utils.fetch import fetch_with_deadline
 
     cfg = ModelConfig(
         feature_dim=args.feature_dim, kv_feature_dim=args.feature_dim,
@@ -327,13 +347,55 @@ def main(argv=None):
     # frame is reused ~(2*t_win+1) times across windows and again by the
     # LBA, and a 384x256x3 fp32 re-upload per use is pure tunnel stall
     dev_imgs: "OrderedDict[int, jnp.ndarray]" = OrderedDict()
+    dev_lock = threading.Lock()
 
     def dimg(i: int):
-        if i not in dev_imgs:
-            dev_imgs[i] = jnp.asarray(traj.frame(i).img)
-            while len(dev_imgs) > 4 * (2 * t_win_r * step + 2):
-                dev_imgs.popitem(last=False)
-        return dev_imgs[i]
+        rec = traj.frame(i)             # decode outside the lock
+        with dev_lock:
+            if i not in dev_imgs:
+                dev_imgs[i] = jnp.asarray(rec.img)
+                while len(dev_imgs) > 4 * (2 * t_win_r * step + 2):
+                    dev_imgs.popitem(last=False)
+            return dev_imgs[i]
+
+    # the device pose-graph arm ships frames as RAW UINT8 (4x fewer bytes
+    # on the serial relay than the f32 normalized image; ~24 ms/frame at
+    # the measured ~37 MB/s) and normalizes in-jit (make_steady_frame)
+    dev_imgs_u8: "OrderedDict[int, jnp.ndarray]" = OrderedDict()
+
+    def dimg_u8(i: int):
+        rec = traj.frame(i)
+        with dev_lock:
+            if i not in dev_imgs_u8:
+                dev_imgs_u8[i] = jnp.asarray(rec.img_raw)
+                while len(dev_imgs_u8) > 4 * (2 * t_win_r * step + 2):
+                    dev_imgs_u8.popitem(last=False)
+            return dev_imgs_u8[i]
+
+    # decode+upload prefetcher (device arm): JPEG decode (~36 ms/frame of
+    # host CPU) and the u8 upload run AHEAD of the dispatch thread, off
+    # its critical path — the infer/loop.py prefetch pattern applied to
+    # the steady-state loop. Bounded lead keeps the LRU caches warm.
+    prefetch_pos = [0]
+    stop_prefetch = [False]
+
+    def _prefetch():
+        import time as _t
+        last = -1
+        while not stop_prefetch[0]:
+            target = min(prefetch_pos[0] + t_win_r * step + 2, L - 1)
+            if target <= last:
+                _t.sleep(0.002)
+                continue
+            for i in range(max(last + 1, 0), target + 1):
+                if stop_prefetch[0]:
+                    return
+                dimg_u8(i)
+            last = target
+
+    prefetcher = threading.Thread(target=_prefetch, daemon=True)
+    if pose_graph_dev:
+        prefetcher.start()
 
     K_np = traj.K_dpv[None].astype(np.float32)
 
@@ -348,7 +410,8 @@ def main(argv=None):
     pending_exports = []          # (frame_cnt, img_raw, dc_dev (2,H,W) u16)
 
     def flush_exports(metas, dc_stack_dev):
-        dc = np.asarray(dc_stack_dev)           # one fetch for the chunk
+        # one watchdog fetch for the chunk (utils/fetch.py: deadline+retry)
+        dc = fetch_with_deadline(dc_stack_dev, tag="lba maps")
         for (fc, img_raw), maps in zip(metas, dc):
             export_frame(res_dir, fc, img_raw, maps[0], maps[1])
 
@@ -412,6 +475,7 @@ def main(argv=None):
         # ---- device pose-graph steady state: ONE dispatch, no fetch ----
         if pose_graph_dev and not first_frame and args.LBA_max_iter > 1:
             t_frame0 = _time.perf_counter()
+            prefetch_pos[0] = ref_indx
             ref_rec = traj.frame(ref_indx)
             idx_next = ref_indx + 1
             pose_idx, opt_idx = twin_pose_indices(idx_next, t_win_r, step)
@@ -421,20 +485,24 @@ def main(argv=None):
                                 traj_extMs_dso[idx_next + t_win_r * step])
                        if (use_dso_R or use_dso_t)
                        else np.eye(4, dtype=np.float32))
+            # plain numpy index/pose args ride up WITH the dispatch RPC —
+            # pre-converting each with jnp.asarray would cost one ~2-5 ms
+            # enqueue round-trip apiece (PERF.md "Host-loop export
+            # de-stall" item 2); frames ship as u8 tuples, stacked in-jit
             idx = {
-                "ref": jnp.int32(ref_indx),
-                "next": jnp.int32(idx_next),
-                "pnext": jnp.int32(min(ref_indx + step, L - 1)),
-                "win": jnp.asarray(win_idx, jnp.int32),
-                "pose": jnp.asarray(pose_idx, jnp.int32),
-                "opt": jnp.asarray(opt_idx, jnp.int32),
+                "ref": np.int32(ref_indx),
+                "next": np.int32(idx_next),
+                "pnext": np.int32(min(ref_indx + step, L - 1)),
+                "win": np.asarray(win_idx, np.int32),
+                "pose": np.asarray(pose_idx, np.int32),
+                "opt": np.asarray(opt_idx, np.int32),
             }
             t1 = _time.perf_counter()
             bv_predict, dev_extMs, dc = steady_frame(
-                params, dev_extMs, dimg(ref_indx),
-                jnp.stack([dimg(i) for i in win_idx]), dimg(idx_next),
-                jnp.stack([dimg(i) for i in opt_idx]),
-                bv_predict, bv_valid, idx, jnp.asarray(dso_rel))
+                params, dev_extMs, dimg_u8(ref_indx),
+                tuple(dimg_u8(i) for i in win_idx), dimg_u8(idx_next),
+                tuple(dimg_u8(i) for i in opt_idx),
+                bv_predict, bv_valid, idx, dso_rel.astype(np.float32))
             bv_valid = jnp.ones((1,), bool)
             t2 = _time.perf_counter()
             queue_export(frame_cnt_out, ref_rec.img_raw, dc)
@@ -549,6 +617,7 @@ def main(argv=None):
             # device copy is stale — rebuild it on the next steady frame
             dev_extMs, valid_mask = None, refresh_valid_mask()
 
+    stop_prefetch[0] = True
     if pending_exports:
         stack = jnp.stack([p[2] for p in pending_exports])
         metas = [(p[0], p[1]) for p in pending_exports]

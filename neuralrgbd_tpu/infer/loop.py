@@ -29,6 +29,7 @@ from neuralrgbd_tpu.data.trajectory import (Trajectory, rel_pose,
                                             window_indices)
 from neuralrgbd_tpu.infer.export import export_frame, save_scene_path_info
 from neuralrgbd_tpu.infer.step import make_infer_step
+from neuralrgbd_tpu.utils.fetch import fetch_with_deadline
 
 
 TORCH_IMPORT_CACHE_WARNING = (
@@ -458,7 +459,7 @@ def run_trajectory(
         # array — a single relay round-trip (~55 ms fixed each on this
         # environment) instead of two per chunk
         nonlocal n_exported
-        dc = np.asarray(dc_stack)
+        dc = fetch_with_deadline(dc_stack, tag="maps")
         for j, (batch_idx, rec) in enumerate(entries):
             export_frame(res_dir, batch_idx, rec.img_raw, dc[0, j], dc[1, j])
             info_rows[batch_idx] = [batch_idx, rec.img_path]
@@ -606,7 +607,7 @@ def _run_trajectory_chunked(params, cfg, traj, res_dir, t_win_r, step,
         # ONE stacked (2, T, H, W) fetch per chunk (~95 ms fixed relay cost
         # each, amortized over chunk_t frames), off the dispatch thread
         nonlocal n_exported
-        dc = np.asarray(dc_stack)
+        dc = fetch_with_deadline(dc_stack, tag="chunk maps")
         for j, (batch_idx, raw, path) in enumerate(entries):
             export_frame(res_dir, batch_idx, raw, dc[0, j], dc[1, j])
             info_rows[batch_idx] = [batch_idx, path]
@@ -773,8 +774,8 @@ def run_trajectories_parallel(
     infos = [[t.name or os.path.dirname(t.img_paths[0])] for t in trajs]
 
     def flush_chunk(entries, d16, c16):
-        depths = np.asarray(d16)      # (T, N, H, W) — ONE fetch per stack
-        confs = np.asarray(c16)
+        depths = fetch_with_deadline(d16, tag="lane maps")  # (T, N, H, W)
+        confs = fetch_with_deadline(c16, tag="lane confs")  # ONE per stack
         for t_off, refs, okrow, row_counts in entries:
             for i in range(n):
                 if okrow[i]:

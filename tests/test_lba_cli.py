@@ -98,16 +98,19 @@ def test_pose_graph_device_matches_host(capture, tmp_path):
     n_d = main(base + ["--res_dir", res_d, "--pose_graph", "device"])
     assert n_h == n_d and n_h >= 3
 
-    # measured on this fixture: frames 0-3 are bit-exact (0 = the shared
-    # host bootstrap frame, 1-3 = fused device frames), then the fp32 pose
-    # storage (host keeps the DSO float64 chain) amplifies chaotically
-    # through the random-init LBA — both trajectories are equally valid
+    # frame 0 is the shared host bootstrap (identical code path, bit-close);
+    # fused frames (>=1) consume RAW u8 + in-jit normalization while the
+    # host arm normalizes on host — ULP-level image differences plus fp32
+    # pose storage (host keeps the DSO float64 chain) amplify chaotically
+    # through the random-init LBA, so they carry the chaos floor. The
+    # bit-level pin on the fused math itself is
+    # test_steady_frame_matches_component_mirror below.
     for i in range(n_h):
         for pre in ("d", "conf"):
             a = read_pgm(os.path.join(res_h, "t", f"{pre}_{i:05d}.pgm"))
             b = read_pgm(os.path.join(res_d, "t", f"{pre}_{i:05d}.pgm"))
             close = np.abs(a.astype(np.int32) - b.astype(np.int32)) <= 2
-            floor = 0.999 if i < 4 else 0.95
+            floor = 0.999 if i < 1 else 0.95
             assert close.mean() >= floor, (i, pre, close.mean())
 
 
@@ -177,9 +180,12 @@ def test_steady_frame_matches_component_mirror():
     """VERDICT r4 item 6 / ADVICE r4: pin the fused device steady frame
     against a non-chaotic invariant — ONE steady_frame call vs the same
     computation composed from its components (infer_step, lba_maps,
-    lba_run, pose glue) on identical fp32 inputs. No pose-chain chaos is
+    lba_run, pose glue) on identical inputs. No pose-chain chaos is
     involved: both sides see the same (L, 4, 4) fp32 trajectory, so the
-    results must agree to jit-fusion roundoff."""
+    results must agree to jit-fusion roundoff. The fused side receives
+    RAW UINT8 frames (the relay de-stall contract) and normalizes in-jit;
+    the mirror normalizes on host with the identical expression
+    (data/preprocess.py:31-33) — this pins the in-jit normalize too."""
     import jax
     import jax.numpy as jnp
 
@@ -216,7 +222,23 @@ def test_steady_frame_matches_component_mirror():
         q, _ = np.linalg.qr(Rx)
         extMs[i, :3, :3] = q.astype(np.float32)
         extMs[i, :3, 3] = (0.05 * i + 0.01 * rng.randn(3)).astype(np.float32)
-    imgs = rng.rand(L, H, W, 3).astype(np.float32)
+    imgs_u8 = rng.randint(0, 256, (L, H, W, 3)).astype(np.uint8)
+    from neuralrgbd_tpu.data import preprocess as pp
+
+    # the fused arm normalizes in-jit; for a non-chaotic mirror the two
+    # sides must see BIT-IDENTICAL fp32 images (ULP-level differences
+    # amplify through the LBA past any tight pose tolerance), so the
+    # mirror consumes the jitted normalization's own output ...
+    def _norm(u8):
+        return ((u8.astype(jnp.float32) / 255.0
+                 - jnp.asarray(pp.IMAGENET_MEAN)) / jnp.asarray(pp.IMAGENET_STD))
+
+    imgs = np.asarray(jax.jit(_norm)(jnp.asarray(imgs_u8)))
+    # ... and the jitted expression itself is pinned against the host
+    # normalization (data/preprocess.py:31-33) to fp32 roundoff here
+    host_imgs = ((imgs_u8.astype(np.float32) / 255.0 - pp.IMAGENET_MEAN)
+                 / pp.IMAGENET_STD)
+    np.testing.assert_allclose(imgs, host_imgs, rtol=0, atol=2e-6)
 
     model = KVNet(cfg=cfg)
     params = model.init(
@@ -249,10 +271,10 @@ def test_steady_frame_matches_component_mirror():
     bvp = jnp.full((1, D, H // 4, W // 4), -np.log(D), jnp.float32)
     bvv = jnp.ones((1,), bool)
     ext_dev = jnp.asarray(extMs)
-    args = (params, ext_dev, jnp.asarray(imgs[ref_indx]),
-            jnp.stack([jnp.asarray(imgs[i]) for i in win_idx]),
-            jnp.asarray(imgs[idx_next]),
-            jnp.stack([jnp.asarray(imgs[i]) for i in opt_idx]),
+    args = (params, ext_dev, jnp.asarray(imgs_u8[ref_indx]),
+            tuple(jnp.asarray(imgs_u8[i]) for i in win_idx),
+            jnp.asarray(imgs_u8[idx_next]),
+            tuple(jnp.asarray(imgs_u8[i]) for i in opt_idx),
             bvp, bvv, idx, jnp.eye(4, dtype=jnp.float32))
 
     bvp_f, ext_f, dc_f = steady(*args)
@@ -285,8 +307,17 @@ def test_steady_frame_matches_component_mirror():
     # quantized uint16 exports: identical up to the 1-count cast boundary
     d_df = np.abs(np.asarray(dc_f, np.int32) - np.asarray(dc_m, np.int32))
     assert d_df.max() <= 1 and (d_df > 0).mean() < 1e-3, d_df.max()
-    np.testing.assert_allclose(np.asarray(ext_f), np.asarray(ext_m),
-                               rtol=0, atol=2e-5)
+    # pose graph: rows NOT written by the LBA are pure copy-through and
+    # must be BIT-EXACT (catches wrong-index / dropped-write bugs cold);
+    # LBA-written rows pass through 12 chaotic Adam iterations that
+    # amplify the fused-vs-standalone fusion roundoff of the in-jit
+    # normalize (measured max 3.5e-3 on this fixture; a wrong pose /
+    # inverse / index lands O(1))
+    ext_f, ext_m = np.asarray(ext_f), np.asarray(ext_m)
+    keep = np.setdiff1d(np.arange(L), np.asarray(opt_idx))
+    np.testing.assert_array_equal(ext_f[keep], ext_m[keep])
+    np.testing.assert_allclose(ext_f[np.asarray(opt_idx)],
+                               ext_m[np.asarray(opt_idx)], rtol=0, atol=2e-2)
 
 
 def test_pose_graph_pose_matrix_agreement(capture, tmp_path):
@@ -328,10 +359,13 @@ def test_pose_graph_pose_matrix_agreement(capture, tmp_path):
     # different pose matrices. Bound both the tail and the early frames.
     assert dR.max() < 0.15, dR
     assert (dt / scale).max() < 0.4, dt / scale
-    # the first chained frames must be near-exact (divergence is seeded by
-    # fp32 storage only, ~1e-4 class before the chaos compounds)
-    assert dR[:4].max() < 5e-3, dR[:4]
-    assert (dt[:4] / scale).max() < 5e-3, dt[:4] / scale
+    # the first chained frames must be near-exact: divergence is seeded
+    # only by fp32 pose storage + the device arm's in-jit u8 normalize
+    # (ULP-class image deltas), ~1e-5 class for the first three chained
+    # frames before the random-init LBA chaos compounds (measured:
+    # 7.6e-9 / 8.4e-9 / 4.9e-6, then 1.5e-2 at frame 4)
+    assert dR[:3].max() < 5e-3, dR[:3]
+    assert (dt[:3] / scale).max() < 5e-3, dt[:3] / scale
 
 
 def test_twin_pose_indices():
